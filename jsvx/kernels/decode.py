@@ -1,0 +1,234 @@
+"""Device decode path (pure XLA formulation).
+
+One fused, jit-able step per plane: integer dequantisation -> 8x8 IDCT as
+two small matmuls -> half-pel motion compensation (vectorised gather) ->
+residual add + clamp.  This replaces the reference's four WebGL fragment
+passes (``decoders/shaders/mpeg1video.js``) with math on dense planes:
+
+* no byte-pair int16 emulation, no 0.4 packing scale, no 4-pixels-per-texel
+  repacking — those are WebGL1 workarounds, not format semantics;
+* the two 1-D IDCT passes become ``C @ X`` / ``X @ C^T`` contractions that
+  XLA maps onto the MXU, batched over all 8-row / 8-column block strips of
+  the plane at once;
+* the per-macroblock motion vectors become a per-pixel gather with
+  edge-clamped indices (CLAMP_TO_EDGE semantics, ``decoders/jsv.js:216``).
+
+A Pallas-TPU fused variant lives in :mod:`jsvx.kernels.pallas_decode`; this
+module is the portable reference implementation and the numerical spec.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding import tables as T
+from ..tools import refmath
+
+
+@dataclass(frozen=True)
+class DecodeConstants:
+    """Per-sequence constants living on device."""
+
+    c_basis: jax.Array       # f32[8, 8] IDCT basis (spatial = C @ F @ C.T)
+    intra_q: jax.Array       # i32[8, 8]
+    non_intra_q: jax.Array   # i32[8, 8]
+    scan_pos: jax.Array      # i32[8, 8] zig-zag scan index of each position
+
+
+def make_constants(seq=None) -> DecodeConstants:
+    intra_q = (seq.intra_q if seq is not None
+               else T.DEFAULT_INTRA_QUANT_MATRIX)
+    non_intra_q = (seq.non_intra_q if seq is not None
+                   else T.DEFAULT_NON_INTRA_QUANT_MATRIX)
+    return DecodeConstants(
+        c_basis=jnp.asarray(refmath.C_BASIS, dtype=jnp.float32),
+        intra_q=jnp.asarray(intra_q.reshape(8, 8), dtype=jnp.int32),
+        non_intra_q=jnp.asarray(non_intra_q.reshape(8, 8), dtype=jnp.int32),
+        scan_pos=jnp.asarray(T.ZIG_ZAG_INVERSE.reshape(8, 8),
+                             dtype=jnp.int32),
+    )
+
+
+jax.tree_util.register_pytree_node(
+    DecodeConstants,
+    lambda c: ((c.c_basis, c.intra_q, c.non_intra_q, c.scan_pos), None),
+    lambda _, xs: DecodeConstants(*xs),
+)
+
+
+# ---------------------------------------------------------------------------
+# Host -> device packing
+
+def frame_to_device(ft, dtype_levels=np.int16) -> dict:
+    """FrameTensors -> pytree of device-ready arrays.
+
+    Per-MB sideband is expanded to the per-block grid on the host (for luma
+    each MB covers 2x2 blocks) so the device kernels see one uniform block
+    grid per plane.
+    """
+
+    def mb_to_blocks(a, comp):
+        return np.repeat(np.repeat(a, 2, axis=0), 2, axis=1) if comp == 0 \
+            else a
+
+    comps = []
+    for comp in range(3):
+        comps.append(dict(
+            levels=ft.levels[comp].astype(dtype_levels),
+            lnz=ft.lnz[comp].astype(np.int32),
+            q=mb_to_blocks(ft.mb_quant, comp).astype(np.int32),
+            intra=mb_to_blocks(ft.mb_intra, comp).astype(np.int32),
+            mv=mb_to_blocks(ft.mb_mv, comp).astype(np.int32),
+            rep_add=mb_to_blocks(ft.mb_rep_add, comp).astype(np.int32),
+        ))
+    return dict(
+        y=comps[0], cb=comps[1], cr=comps[2],
+        is_p=np.int32(0 if ft.is_intra_picture else 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dequantisation (integer, reference semantics)
+
+def dequant_plane(levels: jax.Array, q_blk: jax.Array, intra_blk: jax.Array,
+                  lnz_blk: jax.Array, consts: DecodeConstants,
+                  quirk_oddify_zeros: bool = False) -> jax.Array:
+    """int16 level plane -> f32 dequantised coefficient plane.
+
+    Shader parity (COL_* fragments): x2 (+sign for non-intra), xq, xM/16
+    with floor, mismatch control, clamp to [-2048, 2047], zero outside the
+    coded scan range, intra DC = 8*level.
+    """
+    h, w = levels.shape
+    hb, wb = h // 8, w // 8
+    lv = levels.astype(jnp.int32).reshape(hb, 8, wb, 8)
+
+    q = q_blk.reshape(hb, 1, wb, 1)
+    intra = intra_blk.reshape(hb, 1, wb, 1) > 0
+    lnz = lnz_blk.reshape(hb, 1, wb, 1)
+    mi = consts.intra_q.reshape(1, 8, 1, 8)
+    mn = consts.non_intra_q.reshape(1, 8, 1, 8)
+    scan = consts.scan_pos.reshape(1, 8, 1, 8)
+
+    sign = jnp.sign(lv)
+    if quirk_oddify_zeros:
+        pre_sign = jnp.where(lv < 0, -1, 1)
+    else:
+        pre_sign = sign
+    pre = jnp.where(intra, 2 * lv, 2 * lv + pre_sign)
+    m = jnp.where(intra, mi, mn)
+    d = jnp.floor_divide(pre * q * m, 16)
+
+    even = (d % 2) == 0
+    if quirk_oddify_zeros:
+        d = jnp.where(even, d - jnp.where(d > 0, 1, -1), d)
+    else:
+        d = jnp.where(even & (lv != 0), d - jnp.sign(d), d)
+    d = jnp.clip(d, -2048, 2047)
+
+    d = jnp.where(scan < lnz, d, 0)
+    # intra DC override (COL_INT_31: dc at quant step 8)
+    is_dc = (jnp.arange(8)[:, None] == 0) & (jnp.arange(8)[None, :] == 0)
+    d = jnp.where(is_dc.reshape(1, 8, 1, 8) & intra, 8 * lv, d)
+    return d.reshape(h, w).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# IDCT (two MXU contractions over block strips)
+
+def idct_plane(d: jax.Array, consts: DecodeConstants) -> jax.Array:
+    h, w = d.shape
+    c = consts.c_basis
+    cols = jnp.einsum("xu,bul->bxl", c, d.reshape(h // 8, 8, w),
+                      preferred_element_type=jnp.float32)
+    rows = jnp.einsum("yv,hbv->hby", c, cols.reshape(h, w // 8, 8),
+                      preferred_element_type=jnp.float32)
+    return rows.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation (per-pixel gather, MPEG half-pel rounding)
+
+def predict_plane(ref: jax.Array, mv_blk: jax.Array, rep_add_blk: jax.Array,
+                  is_chroma: bool) -> jax.Array:
+    """Edge-clamped half-pel prediction of a whole plane.
+
+    ``ref`` is the previous reconstructed plane (uint8).  ``mv_blk`` is the
+    per-8x8-block motion vector in luma half-pel units; chroma planes halve
+    it with trunc-toward-zero first (shader INTER_1 with mv_coef=0.5).
+    """
+    h, w = ref.shape
+    mvy = jnp.repeat(jnp.repeat(mv_blk[..., 0], 8, axis=0), 8, axis=1)
+    mvx = jnp.repeat(jnp.repeat(mv_blk[..., 1], 8, axis=0), 8, axis=1)
+    if is_chroma:
+        mvy = jax.lax.div(mvy, 2)          # trunc toward zero
+        mvx = jax.lax.div(mvx, 2)
+    fy, oy = mvy >> 1, mvy & 1
+    fx, ox = mvx >> 1, mvx & 1
+
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None] + fy
+    xx = jnp.arange(w, dtype=jnp.int32)[None, :] + fx
+    ref_i = ref.astype(jnp.int32)
+
+    def at(dy, dx):
+        iy = jnp.clip(yy + dy, 0, h - 1)
+        ix = jnp.clip(xx + dx, 0, w - 1)
+        return jnp.take(ref_i.reshape(-1), iy * w + ix)
+
+    a = at(0, 0)
+    b = at(0, 1)
+    c = at(1, 0)
+    d = at(1, 1)
+    pred = jnp.where(
+        (oy == 0) & (ox == 0), a,
+        jnp.where((oy == 0) & (ox == 1), (a + b + 1) >> 1,
+                  jnp.where((oy == 1) & (ox == 0), (a + c + 1) >> 1,
+                            (a + b + c + d + 2) >> 2)))
+    rep = jnp.repeat(jnp.repeat(rep_add_blk, 8, axis=0), 8, axis=1)
+    return jnp.where(rep > 0, 0, pred)
+
+
+# ---------------------------------------------------------------------------
+# Full frame step
+
+def decode_frame_plane(comp_inputs: dict, ref: jax.Array, is_p: jax.Array,
+                       consts: DecodeConstants, is_chroma: bool,
+                       quirk_oddify_zeros: bool = False) -> jax.Array:
+    """One plane of one picture -> reconstructed uint8 plane.
+
+    Uniform over I/P so a ``lax.scan`` over a GOP can carry the reference
+    planes: for I pictures ``is_p`` zeroes the prediction term.
+    """
+    d = dequant_plane(comp_inputs["levels"], comp_inputs["q"],
+                      comp_inputs["intra"], comp_inputs["lnz"], consts,
+                      quirk_oddify_zeros)
+    res = idct_plane(d, consts)
+    pred = predict_plane(ref, comp_inputs["mv"], comp_inputs["rep_add"],
+                         is_chroma)
+    pred = pred * is_p.astype(jnp.int32)
+    out = jnp.round(pred.astype(jnp.float32) + res)
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+
+def decode_frame_planes(frame: dict, refs: tuple, consts: DecodeConstants,
+                        quirk_oddify_zeros: bool = False) -> tuple:
+    """All three planes of one picture; ``refs`` = (Y, Cb, Cr) uint8."""
+    is_p = frame["is_p"]
+    y = decode_frame_plane(frame["y"], refs[0], is_p, consts, False,
+                           quirk_oddify_zeros)
+    cb = decode_frame_plane(frame["cb"], refs[1], is_p, consts, True,
+                            quirk_oddify_zeros)
+    cr = decode_frame_plane(frame["cr"], refs[2], is_p, consts, True,
+                            quirk_oddify_zeros)
+    return y, cb, cr
+
+
+@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))
+def decode_frame_jit(frame: dict, refs: tuple, consts: DecodeConstants,
+                     quirk_oddify_zeros: bool = False) -> tuple:
+    return decode_frame_planes(frame, refs, consts, quirk_oddify_zeros)

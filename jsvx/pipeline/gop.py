@@ -1,0 +1,50 @@
+"""GOP-level recurrent decode.
+
+The reference repaints P pictures against a rotating framebuffer pool
+(``prev_pic_framebuffer``, decoders/jsv.js:639-673).  The TPU-native
+formulation is a ``lax.scan`` over the frames of a GOP with the three
+reconstructed reference planes as carry: I frames reset the carry (their
+prediction term is zeroed), P frames consume it.  Frames of a GOP are
+stacked on a leading axis so one compiled scan decodes the whole GOP
+without host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.decode import DecodeConstants, decode_frame_planes
+
+
+def stack_device_frames(frames: list[dict]) -> dict:
+    """List of per-frame pytrees (from ``frame_to_device``) -> stacked."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *frames)
+
+
+def zero_refs(coded_h: int, coded_w: int) -> tuple:
+    return (jnp.zeros((coded_h, coded_w), dtype=jnp.uint8),
+            jnp.zeros((coded_h // 2, coded_w // 2), dtype=jnp.uint8),
+            jnp.zeros((coded_h // 2, coded_w // 2), dtype=jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))
+def decode_gop_scan(stacked: dict, init_refs: tuple,
+                    consts: DecodeConstants,
+                    quirk_oddify_zeros: bool = False) -> tuple:
+    """Decode a stacked GOP; returns ((Y, Cb, Cr) stacks, final refs).
+
+    The sequential P->I dependence is the scan carry; everything inside a
+    step is batched dense math (dequant + IDCT + MC over whole planes).
+    """
+
+    def step(refs, frame):
+        planes = decode_frame_planes(frame, refs, consts,
+                                     quirk_oddify_zeros)
+        return planes, planes
+
+    final_refs, outs = jax.lax.scan(step, init_refs, stacked)
+    return outs, final_refs

@@ -547,6 +547,8 @@ class JsvEncoder:
 def encode_frames(frames, width: int | None = None, height: int | None = None,
                   config: EncoderConfig | None = None) -> bytes:
     """Convenience wrapper: YCbCr frame list -> JSV bytes."""
+    if not frames:
+        raise ValueError("encode_frames: no frames given")
     y0 = frames[0][0]
     h, w = y0.shape
     enc = JsvEncoder(width or w, height or h, config)
