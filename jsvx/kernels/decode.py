@@ -155,14 +155,25 @@ def idct_plane(d: jax.Array, consts: DecodeConstants) -> jax.Array:
 # Motion compensation (per-pixel gather, MPEG half-pel rounding)
 
 def predict_plane(ref: jax.Array, mv_blk: jax.Array, rep_add_blk: jax.Array,
-                  is_chroma: bool) -> jax.Array:
-    """Edge-clamped half-pel prediction of a whole plane.
+                  is_chroma: bool, *, halo: int = 0, row0=0,
+                  h_global: int | None = None) -> jax.Array:
+    """Edge-clamped half-pel prediction of a (possibly row-sharded) plane.
 
     ``ref`` is the previous reconstructed plane (uint8).  ``mv_blk`` is the
     per-8x8-block motion vector in luma half-pel units; chroma planes halve
     it with trunc-toward-zero first (shader INTER_1 with mv_coef=0.5).
+
+    Sharded use (slice-row sharding over a mesh axis): ``ref`` is the local
+    row shard extended by ``halo`` exchanged boundary rows on each side,
+    ``row0`` is the global row of the shard's first output row and
+    ``h_global`` the full plane height — edge clamping then happens in
+    global coordinates, so results are bit-identical to the single-device
+    decode as long as ``halo`` covers the vertical motion range.
     """
-    h, w = ref.shape
+    ext_h, w = ref.shape
+    h = ext_h - 2 * halo                   # local output rows
+    if h_global is None:
+        h_global = h
     mvy = jnp.repeat(jnp.repeat(mv_blk[..., 0], 8, axis=0), 8, axis=1)
     mvx = jnp.repeat(jnp.repeat(mv_blk[..., 1], 8, axis=0), 8, axis=1)
     if is_chroma:
@@ -171,12 +182,13 @@ def predict_plane(ref: jax.Array, mv_blk: jax.Array, rep_add_blk: jax.Array,
     fy, oy = mvy >> 1, mvy & 1
     fx, ox = mvx >> 1, mvx & 1
 
-    yy = jnp.arange(h, dtype=jnp.int32)[:, None] + fy
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None] + row0 + fy   # global rows
     xx = jnp.arange(w, dtype=jnp.int32)[None, :] + fx
     ref_i = ref.astype(jnp.int32)
 
     def at(dy, dx):
-        iy = jnp.clip(yy + dy, 0, h - 1)
+        iy = jnp.clip(yy + dy, 0, h_global - 1) - row0 + halo
+        iy = jnp.clip(iy, 0, ext_h - 1)
         ix = jnp.clip(xx + dx, 0, w - 1)
         return jnp.take(ref_i.reshape(-1), iy * w + ix)
 
@@ -198,18 +210,21 @@ def predict_plane(ref: jax.Array, mv_blk: jax.Array, rep_add_blk: jax.Array,
 
 def decode_frame_plane(comp_inputs: dict, ref: jax.Array, is_p: jax.Array,
                        consts: DecodeConstants, is_chroma: bool,
-                       quirk_oddify_zeros: bool = False) -> jax.Array:
+                       quirk_oddify_zeros: bool = False, *, halo: int = 0,
+                       row0=0, h_global: int | None = None) -> jax.Array:
     """One plane of one picture -> reconstructed uint8 plane.
 
     Uniform over I/P so a ``lax.scan`` over a GOP can carry the reference
-    planes: for I pictures ``is_p`` zeroes the prediction term.
+    planes: for I pictures ``is_p`` zeroes the prediction term.  The
+    ``halo``/``row0``/``h_global`` kwargs enable slice-row-sharded use
+    (see :func:`predict_plane`).
     """
     d = dequant_plane(comp_inputs["levels"], comp_inputs["q"],
                       comp_inputs["intra"], comp_inputs["lnz"], consts,
                       quirk_oddify_zeros)
     res = idct_plane(d, consts)
     pred = predict_plane(ref, comp_inputs["mv"], comp_inputs["rep_add"],
-                         is_chroma)
+                         is_chroma, halo=halo, row0=row0, h_global=h_global)
     pred = pred * is_p.astype(jnp.int32)
     out = jnp.round(pred.astype(jnp.float32) + res)
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)

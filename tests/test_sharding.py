@@ -1,0 +1,153 @@
+"""Multi-chip decode tests on the virtual 8-device CPU mesh.
+
+Slice-row sharding with halo exchange and GOP-parallel sharding must be
+bit-identical to the single-device decode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jsvx.kernels.decode import frame_to_device, make_constants
+from jsvx.pipeline.gop import decode_gop_scan, stack_device_frames, zero_refs
+from jsvx.shard import (build_mesh, decode_gop_rows_sharded,
+                        decode_gops_parallel, exchange_row_halo)
+from jsvx.tools.encoder import EncoderConfig, JsvEncoder
+
+from conftest import synthetic_frames
+
+
+@pytest.fixture(scope="module")
+def tall_stream():
+    """128x64 clip (8 MB rows) with motion, 2 GOPs of 3 frames."""
+    clip = synthetic_frames(6, 128, 64, seed=11)
+    data = JsvEncoder(64, 128, EncoderConfig(
+        gop_size=3, quantizer_scale=4, me_range=4)).encode(clip)
+    return data, clip
+
+
+def _parse_stream(data):
+    from jsvx.pipeline.stream import JaxStreamDecoder
+    d = JaxStreamDecoder(data)
+    fts = d.parse_all()
+    return fts, d.parser.seq
+
+
+def test_mesh_builder():
+    mesh = build_mesh({"gop": 2, "rows": 4})
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("gop", "rows")
+    with pytest.raises(ValueError):
+        build_mesh({"gop": 16})
+
+
+def test_exchange_row_halo():
+    mesh = build_mesh({"rows": 4})
+    h_local, w, halo = 8, 16, 2
+    full = np.arange(4 * h_local * w, dtype=np.int32).reshape(4 * h_local, w)
+
+    @jax.jit
+    def run(x):
+        return jax.shard_map(
+            lambda lx: exchange_row_halo(lx, halo, "rows"),
+            mesh=mesh,
+            in_specs=jax.sharding.PartitionSpec("rows", None),
+            out_specs=jax.sharding.PartitionSpec("rows", None),
+            check_vma=False)(x)
+
+    ext = np.asarray(run(full)).reshape(4, h_local + 2 * halo, w)
+    for dev in range(4):
+        lo = dev * h_local
+        # interior halo rows must match global neighbours
+        if dev > 0:
+            assert np.array_equal(ext[dev][:halo], full[lo - halo:lo])
+        if dev < 3:
+            assert np.array_equal(ext[dev][-halo:],
+                                  full[lo + h_local:lo + h_local + halo])
+        assert np.array_equal(ext[dev][halo:halo + h_local],
+                              full[lo:lo + h_local])
+
+
+def test_slice_row_sharded_equals_single_device(tall_stream):
+    data, _ = tall_stream
+    fts, seq = _parse_stream(data)
+    consts = make_constants(seq)
+    gop = fts[:3]
+    stacked = stack_device_frames([frame_to_device(ft) for ft in gop])
+    refs0 = zero_refs(seq.coded_height, seq.coded_width)
+
+    single, _ = decode_gop_scan(stacked, refs0, consts)
+
+    mesh = build_mesh({"rows": 4})
+    sharded, final = decode_gop_rows_sharded(
+        stacked, refs0, consts, mesh, halo_y=32)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_slice_row_sharded_8way(tall_stream):
+    data, _ = tall_stream
+    fts, seq = _parse_stream(data)
+    consts = make_constants(seq)
+    stacked = stack_device_frames([frame_to_device(ft) for ft in fts[:3]])
+    refs0 = zero_refs(seq.coded_height, seq.coded_width)
+    single, _ = decode_gop_scan(stacked, refs0, consts)
+    mesh = build_mesh({"rows": 8})
+    sharded, _ = decode_gop_rows_sharded(
+        stacked, refs0, consts, mesh, halo_y=8)
+    # halo 8 covers the f_code=3 (f=4 -> |fy|<=31/2... ) small search range
+    # used by the fixture (me_range=4 full-pel -> |fy| <= 5)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gop_parallel_equals_sequential(tall_stream):
+    data, _ = tall_stream
+    fts, seq = _parse_stream(data)
+    consts = make_constants(seq)
+    gops = [fts[:3], fts[3:]]
+    # sequential per-GOP decode
+    want = []
+    for gop in gops:
+        stacked = stack_device_frames([frame_to_device(ft) for ft in gop])
+        outs, _ = decode_gop_scan(
+            stacked, zero_refs(seq.coded_height, seq.coded_width), consts)
+        want.append(outs)
+
+    batch = jax.tree.map(
+        lambda *xs: np.stack(xs),
+        *[stack_device_frames([frame_to_device(ft) for ft in gop])
+          for gop in gops])
+    mesh = build_mesh({"gop": 2})
+    outs, _ = decode_gops_parallel(batch, seq.coded_height, seq.coded_width,
+                                   consts, mesh)
+    for g in range(2):
+        for comp in range(3):
+            assert np.array_equal(np.asarray(outs[comp][g]),
+                                  np.asarray(want[g][comp]))
+
+
+def test_two_axis_mesh_gop_and_rows(tall_stream):
+    """dp (gop) x sp (rows) on one 2x4 mesh: both axes at once."""
+    data, _ = tall_stream
+    fts, seq = _parse_stream(data)
+    consts = make_constants(seq)
+    gops = [fts[:3], fts[3:]]
+    stacks = [stack_device_frames([frame_to_device(ft) for ft in gop])
+              for gop in gops]
+    singles = [decode_gop_scan(
+        s, zero_refs(seq.coded_height, seq.coded_width), consts)[0]
+        for s in stacks]
+
+    mesh = build_mesh({"gop": 2, "rows": 4})
+    refs0 = zero_refs(seq.coded_height, seq.coded_width)
+    outs = []
+    for g, stacked in enumerate(stacks):
+        with jax.sharding.set_mesh(mesh):
+            sharded, _ = decode_gop_rows_sharded(
+                stacked, refs0, consts, mesh, halo_y=32)
+        outs.append(sharded)
+    for got, want in zip(outs, singles):
+        for a, b in zip(want, got):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
