@@ -81,9 +81,20 @@ class FrameTensors:
 
 
 class StreamParser:
-    """Stateful elementary-stream parser (sequence/GOP/picture layers)."""
+    """Stateful elementary-stream parser (sequence/GOP/picture layers).
 
-    def __init__(self):
+    ``use_native`` selects the C++ slice/macroblock/block back-end
+    (:mod:`jsvx.bitstream.native`): ``None`` = auto (use it when it
+    builds), ``False`` = pure Python, ``True`` = require it.
+    """
+
+    def __init__(self, use_native: bool | None = None):
+        self._native = None
+        if use_native is None or use_native:
+            from .native import get_native_parser
+            self._native = get_native_parser()
+            if use_native and self._native is None:
+                raise RuntimeError("native parser requested but unavailable")
         v = compiled_tables()
         self._t_addr = v["mb_addr_inc"]
         self._t_cbp = v["cbp"]
@@ -204,6 +215,15 @@ class StreamParser:
         )
         self._have_pending_gop = False
 
+        if self._native is not None and self._picture_end_known(
+                r, index, eos_byte):
+            data_arr = np.frombuffer(r.data, dtype=np.uint8)
+            rel_bit = r.bit_pos - (r.base << 3)
+            end_rel = self._native.parse_picture_slices(
+                data_arr, rel_bit, ft, mb_w, mb_h)
+            r.seek_bits((r.base + end_rel) << 3)
+            return ft
+
         # Skip extension / user data sections, then run the slice loop.
         while True:
             nxt = index.next_code(r.byte_pos)
@@ -222,6 +242,27 @@ class StreamParser:
                 r.seek_bits(off << 3)      # leave at next start code prefix
                 break
         return ft
+
+    @staticmethod
+    def _picture_end_known(r: BitReader, index: StartCodeIndex,
+                           eos_byte: int | None) -> bool:
+        """True when the picture's terminating start code (or a complete
+        stream's end) is within the buffered span — the native parser
+        needs a bounded picture; a streaming caller must refill first."""
+        if eos_byte is not None:
+            return True
+        entries = index.entries
+        if len(entries) == 0:
+            return False
+        i = int(np.searchsorted(entries[:, 0], r.byte_pos))
+        skip = (T.START_EXTENSION, T.START_USER_DATA)
+        while i < len(entries):
+            code = int(entries[i, 1])
+            if not (T.START_SLICE_FIRST <= code <= T.START_SLICE_LAST
+                    or code in skip):
+                return True
+            i += 1
+        return False
 
     # ------------------------------------------------------------------
     # Slice / macroblock / block layers
@@ -275,6 +316,8 @@ class StreamParser:
         if slice_begin:
             # First increment is relative to the previous row's start.
             mb_address += increment
+            if mb_address >= mb_size:
+                return mb_size             # corrupt stream guard
         else:
             if mb_address + increment >= mb_size:
                 return mb_size             # illegal increment: drop (jsv.js:750)
