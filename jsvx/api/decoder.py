@@ -1,0 +1,286 @@
+"""Streaming Decoder: the public decode API over a sparse byte buffer.
+
+The framework equivalent of the reference's ``jsv_dec`` object
+(``decoders/jsv.js:20-50,426-465,1618-1648``): it owns the stream buffer,
+parses the container header and GOP key map when enough bytes arrive,
+pulls one picture per ``decode_frame()`` against availability gates
+(emitting ``stalled`` with the missing byte offset for the streaming layer
+to refill), reconstructs on the configured backend (JAX device kernels or
+the float64 oracle), and seeks via the key map to <= 150 ms precision.
+
+Events: ``meta``(ContainerMeta), ``seq``(dict), ``frame``(DecodedFrame),
+``ended``, ``seeked``(target_ms, actual_ms), ``stalled``(byte).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream.bitio import BitReader, BitStallError
+from ..bitstream.container import (ContainerMeta, StartCodeIndex,
+                                   find_start_codes, parse_container_header)
+from ..bitstream.parser import FrameTensors, StreamParser
+from ..bitstream.ranges import RangeBuffer
+from ..coding import tables as T
+from .config import PlayerConfig
+from .events import EventDispatcher
+
+
+@dataclass
+class DecodedFrame:
+    planes: tuple                 # (Y, Cb, Cr) uint8 arrays (device or host)
+    picture_type: int
+    ts_ms: float                  # GOP timecode resync (0 = none)
+
+    @property
+    def is_intra(self) -> bool:
+        return self.picture_type == T.PICTURE_TYPE_I
+
+
+class Decoder(EventDispatcher):
+    def __init__(self, config: PlayerConfig | None = None,
+                 backend: str = "jax"):
+        super().__init__()
+        self.config = config or PlayerConfig()
+        self.backend = backend
+        self.buffer = RangeBuffer()
+        self.buffer.on("stalled", lambda pos: self.emit("stalled", pos))
+        self.parser = StreamParser(use_native=self.config.use_native_parser)
+        self.meta: ContainerMeta | None = None
+        self.current_time_ms = 0.0
+        self._skip_till_gop = False
+        self._ended = False
+        self._refs = None
+        self._consts = None
+        self._index_cache: tuple[int, int, StartCodeIndex] | None = None
+        self._decode_backend = None
+
+    # ------------------------------------------------------------------
+    # Ingest
+
+    def feed(self, start: int, data: bytes, total: int | None = None) -> None:
+        """Add downloaded bytes; parses metadata once the header is in."""
+        self.buffer.add(start, data, total)
+        if self.meta is None:
+            self._try_init_meta()
+
+    def _try_init_meta(self) -> None:
+        view = self.buffer.contiguous_view(0)
+        if view is None:
+            return
+        data, base = view
+        try:
+            r = BitReader(data.tobytes(), base=base)
+            meta = parse_container_header(r)
+        except BitStallError:
+            return                        # not enough header bytes yet
+        self.meta = meta
+        self.buffer.read_pos = meta.header_bytes
+        self.emit("meta", meta)
+
+    # ------------------------------------------------------------------
+    # Helpers
+
+    def _view_and_index(self):
+        view = self.buffer.contiguous_view(self.buffer.read_pos)
+        if view is None:
+            self.emit("stalled", self.buffer.read_pos)
+            return None
+        data, base = view
+        key = (base, len(data))
+        if self._index_cache is None or self._index_cache[:2] != key:
+            idx = StartCodeIndex(find_start_codes(data, base))
+            self._index_cache = (base, len(data), idx)
+        return data, base, self._index_cache[2]
+
+    def _known_end(self, base: int, data_len: int) -> int | None:
+        """Absolute end-of-stream byte when this view reaches it."""
+        total = self.buffer.total_length
+        if total and base + data_len >= total:
+            return total
+        if self.buffer.fully_loaded:
+            return base + data_len
+        return None
+
+    @property
+    def sequence(self):
+        return self.parser.seq
+
+    # ------------------------------------------------------------------
+    # Decode
+
+    def decode_frame(self) -> DecodedFrame | None:
+        """Decode the next picture; None on stall or end (check
+        ``ended``).  Mirrors the reference decode loop (jsv.js:426-465)."""
+        if self.meta is None:
+            self.emit("stalled", 0)
+            return None
+        while True:
+            total = self.buffer.total_length
+            if ((total and self.buffer.read_pos >= total)
+                    or (self.buffer.fully_loaded
+                        and self.buffer.buffered_from(
+                            self.buffer.read_pos) == 0)):
+                self._ended = True
+                self.emit("ended")
+                return None
+            vi = self._view_and_index()
+            if vi is None:
+                return None
+            data, base, index = vi
+            pos = self.buffer.read_pos
+            nxt = index.next_code(pos)
+            if nxt is None:
+                end = self._known_end(base, len(data))
+                if end is not None:
+                    self._ended = True
+                    self.emit("ended")
+                else:
+                    self.emit("stalled", base + len(data))
+                return None
+            off, code = nxt
+            r = BitReader(data.tobytes(), base=base,
+                          pos_bits=(off + 4) << 3)
+            try:
+                if code == T.START_SEQUENCE:
+                    if not self.buffer.has(18, off):   # header size gate
+                        return None
+                    seq = self.parser.parse_sequence_header(r)
+                    if self._skip_till_gop:
+                        self._skip_till_gop = False
+                    self._on_sequence(seq)
+                    self.buffer.advance_to(r.byte_pos)
+                elif self._skip_till_gop:
+                    self.buffer.advance_to(off + 4)
+                elif code == T.START_GOP:
+                    if not self.buffer.has(8, off):
+                        return None
+                    t = self.parser.parse_gop_header(r)
+                    self.current_time_ms = t
+                    self.buffer.advance_to(r.byte_pos)
+                elif code == T.START_PICTURE:
+                    gate = (self.parser.seq.vbv_buffer_bytes
+                            if self.parser.seq else 300000)
+                    if not self.buffer.has(gate, off):
+                        return None
+                    eos = self._known_end(base, len(data))
+                    ft = self.parser.parse_picture(r, index, eos)
+                    self.buffer.advance_to(r.byte_pos)
+                    if ft is None:
+                        continue           # skipped picture type
+                    frame = self._reconstruct(ft)
+                    self.emit("frame", frame)
+                    return frame
+                else:
+                    self.buffer.advance_to(off + 4)
+            except BitStallError as e:
+                self.emit("stalled", e.needed_byte)
+                return None
+
+    @property
+    def ended(self) -> bool:
+        return self._ended
+
+    def _on_sequence(self, seq) -> None:
+        if self.meta and seq.bit_rate:
+            self.buffer.bytes_backward_limit = int(
+                seq.bit_rate * self.config.seconds_played_limit) >> 3
+        self.emit("seq", {"r": seq.picture_rate, "w": seq.width,
+                          "h": seq.height})
+
+    # ------------------------------------------------------------------
+    # Reconstruction backends
+
+    def _reconstruct(self, ft: FrameTensors) -> DecodedFrame:
+        ts = ft.gop_time_ms
+        if self.backend == "oracle":
+            from ..tools.oracle import reconstruct_frame
+
+            planes = reconstruct_frame(ft, self.parser.seq, self._refs,
+                                       self.config.quirk_oddify_zeros)
+            self._refs = planes
+        else:
+            import jax
+
+            from ..kernels.decode import (decode_frame_jit, frame_to_device,
+                                          make_constants)
+
+            seq = self.parser.seq
+            if self._consts is None:
+                self._consts = make_constants(seq)
+            if self._refs is None:
+                import jax.numpy as jnp
+
+                self._refs = (
+                    jnp.zeros((seq.coded_height, seq.coded_width),
+                              jnp.uint8),
+                    jnp.zeros((seq.coded_height // 2, seq.coded_width // 2),
+                              jnp.uint8),
+                    jnp.zeros((seq.coded_height // 2, seq.coded_width // 2),
+                              jnp.uint8))
+            planes = decode_frame_jit(frame_to_device(ft), self._refs,
+                                      self._consts,
+                                      self.config.quirk_oddify_zeros)
+            self._refs = planes
+        return DecodedFrame(planes=planes, picture_type=ft.picture_type,
+                            ts_ms=ts)
+
+    # ------------------------------------------------------------------
+    # Seeking (jsv.js:1618-1648)
+
+    def seek(self, target_ms: float) -> bool:
+        """Key-map (or linear-estimate) seek to <= 150 ms precision.
+        Returns False when more data must be fetched first (a ``stalled``
+        event carries the byte to fetch)."""
+        meta = self.meta
+        if meta is None:
+            return False
+        if meta.key_map is not None and self.parser.seq is not None:
+            byte = meta.key_map.byte_for_time(
+                target_ms / 1000.0, meta.duration,
+                self.parser.seq.picture_rate)
+        else:
+            total = self.buffer.total_length or 1
+            byte = int(round(total * (target_ms / 1000.0)
+                             / max(meta.duration, 1e-9)))
+        if not self.buffer.seek(byte):
+            return False
+
+        while True:
+            if not self._seek_find_and_parse(T.START_SEQUENCE):
+                return False
+            if not self._seek_find_and_parse(T.START_GOP):
+                return False
+            if (target_ms - self.parser.current_time_ms
+                    <= self.config.seek_precision_ms):
+                break
+        self.current_time_ms = self.parser.current_time_ms
+        self._refs = None                 # next picture is an I frame
+        self._ended = False
+        self.emit("seeked", target_ms, self.current_time_ms)
+        return True
+
+    def _seek_find_and_parse(self, want_code: int) -> bool:
+        vi = self._view_and_index()
+        if vi is None:
+            return False
+        data, base, index = vi
+        nxt = index.next_code(self.buffer.read_pos, codes={want_code})
+        if nxt is None:
+            self.emit("stalled", base + len(data))
+            return False
+        off, _ = nxt
+        r = BitReader(data.tobytes(), base=base, pos_bits=(off + 4) << 3)
+        try:
+            if want_code == T.START_SEQUENCE:
+                self.parser.parse_sequence_header(r)
+                self._on_sequence(self.parser.seq)
+            else:
+                self.parser.parse_gop_header(r)
+        except BitStallError as e:
+            self.emit("stalled", e.needed_byte)
+            return False
+        self.buffer.advance_to(r.byte_pos)
+        return True

@@ -1,0 +1,659 @@
+"""Player: the HTML5 <video>-element-like surface over the streaming
+decoder.
+
+Re-designs the reference player (``player/easybits.player.js``) for a
+Python/TPU runtime while keeping its observable behaviour:
+
+* property surface: src (single or multi-bitrate list), currentTime,
+  duration, paused/ended/seeking, muted/volume/playbackRate, loop,
+  autoplay, preload, poster, videoWidth/Height, readyState/networkState,
+  buffered/played/seekable TimeRanges, error;
+* event stream: loadstart, durationchange, loadedmetadata, loadeddata,
+  progress, canplay, canplaythrough, play, playing, pause, timeupdate,
+  waiting, stalled, seeking, seeked, ended, error, ratechange,
+  volumechange, resize, plus srcchange/bitratechange/unstalled;
+* machinery: chunked byte-range loading with forward-buffer windowing and
+  stall/refill backpressure (easybits.player.js:1869-2156), a bounded
+  decode-ahead frame queue (MAX_DECODED_FRAMES=10, end.js:57) with
+  readyState promotion (onf, :2543-2668), a drift-corrected render clock
+  (displayFrame, :2451-2505), ABR down-switch after repeated underruns
+  (:1294-1316), A/V sync against a pluggable audio clock (:2326-2368),
+  and key-map seeking (:1423-1488).
+
+The render clock is pump-driven: ``tick(now)`` advances everything; call
+``run_realtime()`` for a wall-clock thread or drive ``tick`` manually
+(tests, offline transcode).
+"""
+
+from __future__ import annotations
+
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+import numpy as np
+
+from ..coding import tables as T
+from ..runtime.source import ByteSource, source_for
+from .config import PlayerConfig
+from .decoder import DecodedFrame, Decoder
+from .errors import MediaError
+from .events import EventDispatcher
+
+
+class ReadyState(IntEnum):
+    HAVE_NOTHING = 0
+    HAVE_METADATA = 1
+    HAVE_CURRENT_DATA = 2
+    HAVE_FUTURE_DATA = 3
+    HAVE_ENOUGH_DATA = 4
+
+
+class NetworkState(IntEnum):
+    NETWORK_EMPTY = 0
+    NETWORK_IDLE = 1
+    NETWORK_LOADING = 2
+    NETWORK_NO_SOURCE = 3
+
+
+class TimeRanges:
+    """HTML5 TimeRanges: ordered disjoint [start, end] second intervals."""
+
+    def __init__(self, ranges=()):
+        self._r = [(float(a), float(b)) for a, b in ranges]
+
+    @property
+    def length(self) -> int:
+        return len(self._r)
+
+    def start(self, i: int) -> float:
+        return self._r[i][0]
+
+    def end(self, i: int) -> float:
+        return self._r[i][1]
+
+    def contains(self, t: float) -> bool:
+        return any(a <= t <= b for a, b in self._r)
+
+    def as_list(self):
+        return list(self._r)
+
+
+@dataclass
+class SourceVariant:
+    src: object                       # str path/url or bytes
+    bitrate: float = 0.0              # for ABR ordering ("b" attribute)
+
+
+class NullAudioClock:
+    """Pluggable audio companion (the reference drives an <audio>
+    element); the null clock simply follows the video."""
+
+    current_time = 0.0
+    playing = False
+
+    def play(self):
+        self.playing = True
+
+    def pause(self):
+        self.playing = False
+
+    def seek(self, t: float):
+        self.current_time = t
+
+
+class Player(EventDispatcher):
+    def __init__(self, config: PlayerConfig | None = None,
+                 backend: str = "jax", audio_clock=None):
+        super().__init__()
+        self.config = config or PlayerConfig()
+        self.config.validate()
+        self.backend = backend
+        self.audio = audio_clock or NullAudioClock()
+
+        self._sources: list[SourceVariant] = []
+        self._source_index = 0
+        self._source: ByteSource | None = None
+        self._pending_request = None
+        self._lock = threading.RLock()
+
+        self.decoder: Decoder | None = None
+        self.ready_state = ReadyState.HAVE_NOTHING
+        self.network_state = NetworkState.NETWORK_EMPTY
+        self.error: MediaError | None = None
+
+        self._frames: list[tuple[DecodedFrame, float]] = []  # (frame, t_ms)
+        self._current_time_ms = 0.0
+        self._paused = True
+        self._ended = False
+        self._seeking = False
+        self._pending_seek_ms: float | None = None
+        self._muted = self.config.muted
+        self._volume = 1.0
+        self._playback_rate = 1.0
+        self._default_playback_rate = 1.0
+        self.loop = self.config.loop
+        self.autoplay = self.config.autoplay
+        self.preload = self.config.preload
+        self.poster = ""
+        self._played: list[tuple[float, float]] = []
+        self._played_anchor: float | None = None
+        self._waiting_count = 0
+        self._stalled_byte: int | None = None
+        self._next_frame_due_ms: float | None = None
+        self._last_sync_check = 0.0
+        self._thread = None
+        self._thread_stop = threading.Event()
+        self._frame_sink = None
+
+    # ------------------------------------------------------------------
+    # Source handling
+
+    @property
+    def src(self):
+        if not self._sources:
+            return ""
+        return self._sources[self._source_index].src
+
+    @src.setter
+    def src(self, value):
+        if isinstance(value, (list, tuple)):
+            variants = [
+                SourceVariant(v["src"], float(v.get("b", 0)))
+                if isinstance(v, dict) else SourceVariant(v)
+                for v in value
+            ]
+            variants.sort(key=lambda v: -v.bitrate)
+        else:
+            variants = [SourceVariant(value)]
+        self._sources = variants
+        self._source_index = 0
+        self.emit("srcchange")
+        self.load()
+
+    def can_play_type(self, mime: str) -> str:
+        return "probably" if "jsv" in mime else ""
+
+    canPlayType = can_play_type
+
+    def load(self) -> None:
+        if not self._sources:
+            self.network_state = NetworkState.NETWORK_NO_SOURCE
+            return
+        self._reset_for_source()
+        self.emit("loadstart")
+        self.network_state = NetworkState.NETWORK_LOADING
+        try:
+            self._source = source_for(self._sources[self._source_index].src)
+        except Exception as e:
+            self._fail(MediaError.MEDIA_ERR_SRC_NOT_SUPPORTED, str(e))
+            return
+        self._request_range(0)
+
+    def _reset_for_source(self) -> None:
+        self._cancel_request()
+        dec = Decoder(self.config, backend=self.backend)
+        dec.on("meta", self._on_meta)
+        dec.on("seq", self._on_seq)
+        dec.on("stalled", self._on_stalled)
+        dec.on("ended", self._on_ended)
+        self.decoder = dec
+        self._frames.clear()
+        self._ended = False
+        self._stalled_byte = None
+        self.ready_state = ReadyState.HAVE_NOTHING
+
+    def _fail(self, code: int, message: str) -> None:
+        self.error = MediaError(code, message)
+        self.network_state = NetworkState.NETWORK_NO_SOURCE
+        self.emit("error", self.error)
+
+    # ------------------------------------------------------------------
+    # Network pump (loadAjax/ld/onchunk analog)
+
+    def _bytes_per_sec(self) -> float:
+        d = self.decoder
+        if d and d.meta and d.meta.duration > 0 and d.buffer.total_length:
+            return d.buffer.total_length / d.meta.duration
+        return float(self.config.chunk_size)
+
+    def _request_range(self, start: int, seeking: bool = False) -> None:
+        if self._source is None or self.decoder is None:
+            return
+        self._cancel_request()
+        fwd = int(self._bytes_per_sec() * self.config.buffer_sec)
+        plan = self.decoder.buffer.next_range_to_download(
+            start, forward_limit=max(fwd, self.config.chunk_size),
+            seeking=seeking)
+        if plan is None:
+            self.network_state = NetworkState.NETWORK_IDLE
+            self.emit("suspend")
+            return
+        s, e = plan
+        self.network_state = NetworkState.NETWORK_LOADING
+        self._pending_request = self._source.request(
+            s, e, self._on_chunk, on_error=self._on_net_error,
+            on_complete=self._on_request_complete,
+            chunk_size=self.config.chunk_size)
+
+    def _cancel_request(self) -> None:
+        if self._pending_request is not None and self._source is not None:
+            self._source.cancel(self._pending_request)
+            self._pending_request = None
+
+    def _on_chunk(self, start: int, data: bytes, total: int) -> None:
+        with self._lock:
+            if self.decoder is None:
+                return
+            self.decoder.feed(start, data, total)
+            self.emit("progress")
+            if self._stalled_byte is not None and \
+                    self.decoder.buffer.buffered_from(
+                        self._stalled_byte) > 0:
+                self._stalled_byte = None
+                self.emit("unstalled")
+            if self._pending_seek_ms is not None:
+                self._try_pending_seek()
+            self._fill_queue()
+
+    def _on_request_complete(self) -> None:
+        with self._lock:
+            self._pending_request = None
+            if self.decoder is None:
+                return
+            self._fill_queue()
+            if self._stalled_byte is not None:
+                self._request_range(self._stalled_byte)
+            elif not self.decoder.buffer.fully_loaded:
+                self._request_range(self.decoder.buffer.read_pos)
+            else:
+                self.network_state = NetworkState.NETWORK_IDLE
+
+    def _on_net_error(self, e: Exception) -> None:
+        self._fail(MediaError.MEDIA_ERR_NETWORK, str(e))
+
+    def _on_stalled(self, byte: int) -> None:
+        self._stalled_byte = byte
+        if self._pending_request is None:
+            self._request_range(byte)
+
+    # ------------------------------------------------------------------
+    # Decoder events
+
+    def _on_meta(self, meta) -> None:
+        self.ready_state = max(self.ready_state, ReadyState.HAVE_METADATA)
+        self.emit("durationchange")
+        self.emit("loadedmetadata")
+
+    def _on_seq(self, info) -> None:
+        self.emit("resize")
+
+    def _on_ended(self) -> None:
+        pass                                   # handled at queue drain
+
+    # ------------------------------------------------------------------
+    # Decode-ahead queue (onf analog, easybits.player.js:2543-2668)
+
+    def _fill_queue(self) -> None:
+        d = self.decoder
+        if d is None or self._seeking or getattr(self, "_filling", False):
+            return
+        self._filling = True
+        try:
+            self._fill_queue_inner(d)
+        finally:
+            self._filling = False
+
+    def _fill_queue_inner(self, d) -> None:
+        while len(self._frames) < self.config.max_decoded_frames:
+            frame = d.decode_frame()
+            if frame is None:
+                break
+            t_ms = frame.ts_ms if frame.ts_ms else (
+                self._queue_tail_ms() + self._frame_duration_ms())
+            self._frames.append((frame, t_ms))
+            if len(self._frames) == 1:
+                self.ready_state = max(self.ready_state,
+                                       ReadyState.HAVE_CURRENT_DATA)
+                self.emit("loadeddata")
+            if len(self._frames) == 2:
+                if self.ready_state < ReadyState.HAVE_FUTURE_DATA:
+                    self.ready_state = ReadyState.HAVE_FUTURE_DATA
+                    self.emit("canplay")
+        if len(self._frames) >= self.config.max_decoded_frames:
+            if self.ready_state < ReadyState.HAVE_ENOUGH_DATA:
+                self.ready_state = ReadyState.HAVE_ENOUGH_DATA
+                self.emit("canplaythrough")
+                if self.autoplay and self._paused and not self._ended:
+                    self.play()
+        # forward-buffer prefetch continuation (ld on bufferadvance analog)
+        if (self._pending_request is None and not d.buffer.fully_loaded
+                and self._stalled_byte is None
+                and self.network_state != NetworkState.NETWORK_LOADING):
+            self._request_range(d.buffer.read_pos)
+
+    def _queue_tail_ms(self) -> float:
+        if self._frames:
+            return self._frames[-1][1]
+        return self._current_time_ms
+
+    def _frame_duration_ms(self) -> float:
+        seq = self.decoder.sequence if self.decoder else None
+        rate = seq.picture_rate if seq else 30.0
+        return 1000.0 / max(rate, 1e-6)
+
+    # ------------------------------------------------------------------
+    # Properties
+
+    @property
+    def current_time(self) -> float:
+        return self._current_time_ms / 1000.0
+
+    @current_time.setter
+    def current_time(self, t: float) -> None:
+        self._seek(t * 1000.0)
+
+    currentTime = current_time
+
+    @property
+    def duration(self) -> float:
+        d = self.decoder
+        return d.meta.duration if d and d.meta else float("nan")
+
+    @property
+    def video_width(self) -> int:
+        d = self.decoder
+        return d.meta.width if d and d.meta else 0
+
+    videoWidth = video_width
+
+    @property
+    def video_height(self) -> int:
+        d = self.decoder
+        return d.meta.height if d and d.meta else 0
+
+    videoHeight = video_height
+
+    @property
+    def paused(self) -> bool:
+        return self._paused
+
+    @property
+    def ended(self) -> bool:
+        return self._ended
+
+    @property
+    def seeking(self) -> bool:
+        return self._seeking
+
+    @property
+    def muted(self) -> bool:
+        return self._muted
+
+    @muted.setter
+    def muted(self, v: bool) -> None:
+        self._muted = bool(v)
+        self.emit("volumechange")
+
+    @property
+    def volume(self) -> float:
+        return self._volume
+
+    @volume.setter
+    def volume(self, v: float) -> None:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("volume out of range")   # INDEX_SIZE_ERR
+        self._volume = v
+        self.emit("volumechange")
+
+    @property
+    def playback_rate(self) -> float:
+        return self._playback_rate
+
+    @playback_rate.setter
+    def playback_rate(self, v: float) -> None:
+        self._playback_rate = float(v)
+        self.emit("ratechange")
+
+    playbackRate = playback_rate
+
+    @property
+    def default_playback_rate(self) -> float:
+        return self._default_playback_rate
+
+    @default_playback_rate.setter
+    def default_playback_rate(self, v: float) -> None:
+        self._default_playback_rate = float(v)
+
+    @property
+    def buffered(self) -> TimeRanges:
+        d = self.decoder
+        if d is None or d.meta is None or not d.buffer.total_length:
+            return TimeRanges()
+        bps = self._bytes_per_sec()
+        return TimeRanges([(s / bps, (e + 1) / bps)
+                           for s, e in d.buffer.byte_ranges()])
+
+    @property
+    def played(self) -> TimeRanges:
+        return TimeRanges(self._played)
+
+    @property
+    def seekable(self) -> TimeRanges:
+        d = self.decoder
+        if d is None or d.meta is None:
+            return TimeRanges()
+        return TimeRanges([(0.0, d.meta.duration)])
+
+    # ------------------------------------------------------------------
+    # Playback control
+
+    def play(self) -> None:
+        if not self._paused:
+            return
+        self._paused = False
+        self._ended = False
+        self.emit("play")
+        self.audio.play()
+        self._played_anchor = self.current_time
+        self._next_frame_due_ms = None
+        self.emit("playing")
+        self._fill_queue()
+
+    def pause(self) -> None:
+        if self._paused:
+            return
+        self._paused = True
+        self.audio.pause()
+        self._record_played()
+        self.emit("pause")
+
+    def _record_played(self) -> None:
+        if self._played_anchor is None:
+            return
+        a, b = self._played_anchor, self.current_time
+        if b > a:
+            self._played = _merge_ranges(self._played + [(a, b)])
+        self._played_anchor = None
+
+    # ------------------------------------------------------------------
+    # Render clock (displayFrame analog)
+
+    def tick(self, now_s: float) -> None:
+        """Advance playback to wall/virtual time ``now_s`` (seconds)."""
+        with self._lock:
+            if self._paused or self._seeking:
+                return
+            now_ms = now_s * 1000.0
+            if self._next_frame_due_ms is None:
+                self._next_frame_due_ms = now_ms
+            frame_ms = self._frame_duration_ms() / self._playback_rate
+            while now_ms >= self._next_frame_due_ms:
+                if not self._display_one_frame():
+                    return
+                behind = now_ms - self._next_frame_due_ms
+                if self.config.skip_hard and behind > 2 * frame_ms:
+                    self._next_frame_due_ms = now_ms + frame_ms
+                else:
+                    self._next_frame_due_ms += frame_ms
+            if now_ms - self._last_sync_check >= \
+                    self.config.sync_interval_ms:
+                self._last_sync_check = now_ms
+                self._check_av_sync()
+
+    def _display_one_frame(self) -> bool:
+        if not self._frames:
+            d = self.decoder
+            if d is not None and d.ended:
+                self._finish_playback()
+            else:
+                self._underrun()
+            return False
+        frame, t_ms = self._frames.pop(0)
+        self._current_time_ms = t_ms
+        if self._frame_sink is not None:
+            self._frame_sink(frame, t_ms / 1000.0)
+        self.emit("frameout", frame, t_ms / 1000.0)
+        self.emit("timeupdate")
+        self._fill_queue()
+        return True
+
+    def set_frame_sink(self, fn) -> None:
+        """fn(DecodedFrame, t_seconds) — the render target."""
+        self._frame_sink = fn
+
+    def _underrun(self) -> None:
+        self._waiting_count += 1
+        self.ready_state = ReadyState.HAVE_METADATA
+        self.emit("waiting")
+        if self._stalled_byte is not None:
+            self.emit("stalled")
+        self.audio.pause()
+        if self._waiting_count >= self.config.max_waitings:
+            self._waiting_count = 0
+            self._switch_to_lower_bitrate()
+
+    def _finish_playback(self) -> None:
+        self._record_played()
+        if self.loop:
+            self._seek(0.0, resume=True)
+            return
+        self._paused = True
+        self._ended = True
+        self.audio.pause()
+        self.emit("timeupdate")
+        self.emit("ended")
+
+    # ------------------------------------------------------------------
+    # A/V sync (checkAVSync analog)
+
+    def _check_av_sync(self) -> None:
+        a = self.audio
+        if not getattr(a, "playing", False):
+            return
+        drift_ms = abs((a.current_time + self.config.audio_shift_sec)
+                       * 1000.0 - self._current_time_ms)
+        if drift_ms > self.config.av_sync_limit_ms:
+            a.seek(self.current_time - self.config.audio_shift_sec)
+            self.emit("avsync", drift_ms)
+
+    # ------------------------------------------------------------------
+    # ABR (bitrate down-switch)
+
+    def _switch_to_lower_bitrate(self) -> None:
+        if self._source_index + 1 >= len(self._sources):
+            return
+        t = self.current_time
+        was_playing = not self._paused
+        self._source_index += 1
+        self.emit("bitratechange",
+                  self._sources[self._source_index].bitrate)
+        self.load()
+        if t > 0:
+            self._pending_seek_ms = t * 1000.0
+        if was_playing:
+            self._paused = False
+
+    # ------------------------------------------------------------------
+    # Seeking
+
+    def _seek(self, target_ms: float, resume: bool = False) -> None:
+        d = self.decoder
+        if d is None or d.meta is None:
+            self._pending_seek_ms = target_ms
+            return
+        dur_ms = d.meta.duration * 1000.0
+        target_ms = min(max(target_ms, 0.0), dur_ms)
+        self._record_played()
+        self._seeking = True
+        self._frames.clear()
+        self.emit("seeking")
+        self.audio.pause()
+        if d.seek(target_ms):
+            self._finish_seek(target_ms, resume)
+        else:
+            self._pending_seek_ms = target_ms
+
+    def _try_pending_seek(self) -> None:
+        target = self._pending_seek_ms
+        if target is None or self.decoder is None \
+                or self.decoder.meta is None:
+            return
+        if self.decoder.seek(target):
+            self._pending_seek_ms = None
+            self._finish_seek(target, resume=not self._paused)
+
+    def _finish_seek(self, target_ms: float, resume: bool) -> None:
+        self._seeking = False
+        self._current_time_ms = self.decoder.current_time_ms
+        self._next_frame_due_ms = None
+        self.audio.seek(self.current_time)
+        self._fill_queue()
+        self.emit("timeupdate")
+        self.emit("seeked")
+        self._played_anchor = self.current_time
+        if resume and self._paused:
+            self._paused = False
+            self.audio.play()
+
+    # ------------------------------------------------------------------
+    # Real-time driver
+
+    def run_realtime(self, max_seconds: float | None = None) -> None:
+        """Run a wall-clock tick loop in a background thread."""
+        self._thread_stop.clear()
+
+        def loop():
+            t0 = _time.monotonic()
+            while not self._thread_stop.is_set():
+                now = _time.monotonic()
+                if max_seconds is not None and now - t0 > max_seconds:
+                    break
+                self.tick(now)
+                _time.sleep(min(self._frame_duration_ms(), 15.0) / 2000.0)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop_realtime(self) -> None:
+        self._thread_stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def destroy(self) -> None:
+        self.stop_realtime()
+        self._cancel_request()
+        self.decoder = None
+        self._frames.clear()
+
+
+def _merge_ranges(ranges):
+    out = []
+    for a, b in sorted(ranges):
+        if out and a <= out[-1][1] + 1e-9:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out

@@ -1,0 +1,243 @@
+"""Streaming Decoder + Player behaviour tests (oracle backend).
+
+Covers the HTML5-video-emulation semantics of SURVEY.md section 2.4:
+progressive loading with stall/refill, readyState promotion, playback
+clock, timeupdate/ended/loop, key-map seeking, ABR down-switch, and
+played/buffered ranges.
+"""
+
+import numpy as np
+import pytest
+
+from jsvx.api import Decoder, MediaError, Player, PlayerConfig, ReadyState
+from jsvx.api.player import NetworkState, TimeRanges
+from jsvx.coding import tables as T
+from jsvx.runtime.source import MemorySource
+from jsvx.tools.encoder import EncoderConfig, JsvEncoder
+from jsvx.tools.oracle import decode_stream_oracle
+
+from conftest import synthetic_frames
+
+
+@pytest.fixture(scope="module")
+def stream():
+    clip = synthetic_frames(12, 48, 64, seed=5)
+    data = JsvEncoder(64, 48, EncoderConfig(
+        gop_size=4, quantizer_scale=4)).encode(clip)
+    return data, clip
+
+
+# ---------------------------------------------------------------------------
+# Decoder (streaming pull API)
+
+
+def test_decoder_progressive_feed(stream):
+    data, clip = stream
+    dec = Decoder(PlayerConfig(), backend="oracle")
+    stalls = []
+    dec.on("stalled", stalls.append)
+
+    # nothing fed yet
+    assert dec.decode_frame() is None
+    got = []
+    pos = 0
+    chunk = 400
+    while len(got) < len(clip):
+        frame = dec.decode_frame()
+        if frame is not None:
+            got.append(frame)
+            continue
+        if pos >= len(data):
+            break
+        dec.feed(pos, data[pos:pos + chunk], len(data))
+        pos += chunk
+    assert len(got) == len(clip)
+    assert stalls, "progressive feed should have produced stall events"
+    # frames identical to whole-stream oracle decode
+    want = decode_stream_oracle(data)
+    for a, b in zip(got, want):
+        for pa, pb in zip(a.planes, b.planes):
+            np.testing.assert_array_equal(np.asarray(pa), pb)
+    assert dec.decode_frame() is None
+    assert dec.ended
+
+
+def test_decoder_events_and_meta(stream):
+    data, _ = stream
+    dec = Decoder(PlayerConfig(), backend="oracle")
+    events = []
+    for name in ("meta", "seq", "frame", "ended"):
+        dec.on(name, lambda *a, n=name: events.append(n))
+    dec.feed(0, data, len(data))
+    assert dec.meta.width == 64 and dec.meta.height == 48
+    while dec.decode_frame() is not None:
+        pass
+    assert events[0] == "meta"
+    assert "seq" in events and "ended" in events
+    assert events.count("frame") == 12
+
+
+def test_decoder_seek_keymap(stream):
+    data, _ = stream
+    dec = Decoder(PlayerConfig(), backend="oracle")
+    dec.feed(0, data, len(data))
+    dec.decode_frame()                      # init sequence
+    seeked = []
+    dec.on("seeked", lambda *a: seeked.append(a))
+    # seek to ~ second GOP (frame 4 @30fps ~ 133ms... use 200ms)
+    assert dec.seek(200.0)
+    assert seeked
+    frame = dec.decode_frame()
+    assert frame is not None and frame.is_intra
+
+
+# ---------------------------------------------------------------------------
+# Player
+
+
+def _make_player(data, **cfg):
+    p = Player(PlayerConfig(**cfg), backend="oracle")
+    p.src = data                             # bytes -> MemorySource
+    return p
+
+
+def test_player_load_events_and_metadata(stream):
+    data, _ = stream
+    p = Player(PlayerConfig(), backend="oracle")
+    events = []
+    for name in ("loadstart", "durationchange", "loadedmetadata",
+                 "loadeddata", "canplay", "canplaythrough"):
+        p.on(name, lambda n=name: events.append(n))
+    p.src = data
+    assert events.index("loadstart") == 0
+    assert "loadedmetadata" in events and "canplay" in events
+    assert p.video_width == 64 and p.video_height == 48
+    assert abs(p.duration - 0.4) < 0.02      # 12 frames @ 30fps
+    assert p.ready_state == ReadyState.HAVE_ENOUGH_DATA
+    assert p.buffered.length == 1
+
+
+def test_player_playback_clock(stream):
+    data, clip = stream
+    p = _make_player(data)
+    shown = []
+    p.set_frame_sink(lambda f, t: shown.append(t))
+    updates = []
+    p.on("timeupdate", lambda: updates.append(p.current_time))
+    ended = []
+    p.on("ended", lambda: ended.append(1))
+
+    p.play()
+    assert not p.paused
+    t = 0.0
+    while not ended and t < 2.0:
+        t += 1 / 30.0
+        p.tick(t)
+    assert ended, "playback should finish"
+    assert len(shown) == len(clip)
+    assert p.ended and p.paused
+    # times advance by ~ frame duration
+    deltas = np.diff(shown)
+    assert np.all(deltas > 0)
+    # played ranges recorded
+    assert p.played.length >= 1
+
+
+def test_player_loop(stream):
+    data, clip = stream
+    p = _make_player(data, loop=True)
+    p.play()
+    shown = []
+    p.set_frame_sink(lambda f, t: shown.append(t))
+    t = 0.0
+    for _ in range(int(2.2 * len(clip))):
+        t += 1 / 30.0
+        p.tick(t)
+    assert len(shown) > len(clip), "loop should restart playback"
+    assert not p.ended
+
+
+def test_player_seek(stream):
+    data, _ = stream
+    p = _make_player(data)
+    events = []
+    p.on("seeking", lambda: events.append("seeking"))
+    p.on("seeked", lambda: events.append("seeked"))
+    p.current_time = 0.25
+    assert events == ["seeking", "seeked"]
+    assert not p.seeking
+    # lands on a GOP boundary at/below target with <=150ms precision
+    assert p.current_time <= 0.25 + 1e-6
+    assert 0.25 - p.current_time <= 0.151
+    p.play()
+    shown = []
+    p.set_frame_sink(lambda f, t: shown.append((f, t)))
+    t = 0.0
+    for _ in range(3):
+        t += 1 / 30.0
+        p.tick(t)
+    assert shown and shown[0][0].is_intra
+
+
+def test_player_abr_downswitch(stream):
+    data, _ = stream
+    p = Player(PlayerConfig(max_waitings=2), backend="oracle")
+    switches = []
+    p.on("bitratechange", switches.append)
+    p.src = [{"src": data, "b": 800}, {"src": data, "b": 400}]
+    assert p.src == data
+    p.play()
+    # drain the queue then force underruns past max_waitings
+    t = 0.0
+    for _ in range(40):
+        t += 1 / 30.0
+        p.tick(t)
+    p._frames.clear()
+    p.decoder._ended = False                 # simulate starvation
+    p.decoder.buffer.fully_loaded = False
+    waits = []
+    p.on("waiting", lambda: waits.append(1))
+    for _ in range(3):
+        t += 1 / 30.0
+        p._display_one_frame() if False else None
+        p._underrun()
+    assert switches == [400.0]
+
+
+def test_player_volume_and_rate(stream):
+    data, _ = stream
+    p = _make_player(data)
+    events = []
+    p.on("volumechange", lambda: events.append("v"))
+    p.on("ratechange", lambda: events.append("r"))
+    p.volume = 0.5
+    p.muted = True
+    p.playback_rate = 2.0
+    assert events == ["v", "v", "r"]
+    with pytest.raises(ValueError):
+        p.volume = 1.5
+    assert p.can_play_type("video/jsv") == "probably"
+    assert p.can_play_type("video/mp4") == ""
+
+
+def test_player_config_validation():
+    with pytest.raises(MediaError):
+        PlayerConfig(buffer_min_sec=50, buffer_sec=30).validate()
+
+
+def test_player_chunked_loading_stall_refill(stream):
+    """Small forward window + chunked source exercises stall/refill."""
+    data, clip = stream
+    p = Player(PlayerConfig(chunk_size=256, buffer_sec=0.2,
+                            buffer_min_sec=0.1), backend="oracle")
+    p.src = data
+    p.play()
+    shown = []
+    p.set_frame_sink(lambda f, t: shown.append(t))
+    t = 0.0
+    for _ in range(80):
+        t += 1 / 30.0
+        p.tick(t)
+        if p.ended:
+            break
+    assert len(shown) == len(clip)
