@@ -8,16 +8,23 @@ throughput is real-time playback (30 fps at 1080p).  The driver target is
 >= 10x that on one v5e chip, so ``vs_baseline`` is fps / 300 — 1.0 means
 the 10x north-star is met (BASELINE.md).
 
-The measured step is the full device decode: integer dequant + 8x8 IDCT +
-half-pel MC + clamp over a stacked GOP via lax.scan, on synthetic
-1080p-shaped FrameTensors with realistic coefficient sparsity (the VLC
-host parse is benchmarked separately; see tools/bench_parse.py).
+The measured step is the full device decode over a stacked GOP via
+lax.scan (integer dequant + 8x8 IDCT + half-pel MC + clamp) on synthetic
+1080p-shaped FrameTensors with realistic coefficient sparsity and motion,
+using the fused Pallas kernels on TPU (XLA path on CPU).
+
+Measurement notes: remote-tunnel runtimes may cache identical-input
+executions and return from block_until_ready before compute finishes, so
+every trial uses fresh input data and the timed program reduces all
+output planes to a checksum scalar that is fetched to the host; the
+host round-trip cost is measured separately and subtracted.  The VLC
+host parse is benchmarked separately (python -m jsvx.tools.bench_parse).
 """
 
 from __future__ import annotations
 
+import functools
 import json
-import sys
 import time
 
 import numpy as np
@@ -27,8 +34,8 @@ def build_gop(mb_h: int, mb_w: int, n_frames: int, seed: int = 0):
     import jax
     from __graft_entry__ import _synthetic_frame_inputs
 
-    frames = [_synthetic_frame_inputs(mb_h, mb_w, is_p=(i > 0), seed=seed + i,
-                                      max_mv=24)
+    frames = [_synthetic_frame_inputs(mb_h, mb_w, is_p=(i > 0),
+                                      seed=seed + i, max_mv=24)
               for i in range(n_frames)]
     return jax.tree.map(lambda *xs: np.stack(xs), *frames)
 
@@ -41,30 +48,50 @@ def main() -> None:
     from jsvx.pipeline.gop import decode_gop_scan, zero_refs
 
     platform = jax.devices()[0].platform
+    impl = "xla" if platform == "cpu" else "pallas"
     # 1080p coded size: 1920 x 1088 = 120 x 68 macroblocks
     mb_h, mb_w = 68, 120
     n_frames = 8 if platform != "cpu" else 2
     h, w = mb_h * 16, mb_w * 16
 
-    stacked = build_gop(mb_h, mb_w, n_frames)
     consts = make_constants()
-    refs = zero_refs(h, w)
+    refs = jax.device_put(zero_refs(h, w))
 
-    stacked = jax.device_put(stacked)
-    refs = jax.device_put(refs)
+    @jax.jit
+    def run_sum(s, r):
+        outs, fin = decode_gop_scan(s, r, consts, impl=impl,
+                                    mc_impl="mvset")
+        chk = (jnp.sum(outs[0].astype(jnp.int32))
+               + jnp.sum(outs[1].astype(jnp.int32))
+               + jnp.sum(outs[2].astype(jnp.int32)))
+        return chk
 
-    # compile + warmup
-    outs, final = decode_gop_scan(stacked, refs, consts)
-    jax.block_until_ready(outs)
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
 
-    reps = 5 if platform != "cpu" else 1
+    xsmall = jax.device_put(np.ones((8, 128), np.float32))
+    np.asarray(trivial(xsmall))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        outs, final = decode_gop_scan(stacked, refs, consts)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
+    for _ in range(5):
+        np.asarray(trivial(xsmall))
+    round_trip = (time.perf_counter() - t0) / 5
 
-    fps = reps * n_frames / dt
+    # compile + warmup on throwaway data
+    np.asarray(run_sum(jax.device_put(build_gop(mb_h, mb_w, n_frames,
+                                                seed=999)), refs))
+
+    trials = 6 if platform != "cpu" else 2
+    best = float("inf")
+    for t in range(trials):
+        data = jax.device_put(build_gop(mb_h, mb_w, n_frames, seed=10 * t))
+        np.asarray(trivial(xsmall))        # drain the queue
+        t0 = time.perf_counter()
+        np.asarray(run_sum(data, refs))
+        dt = time.perf_counter() - t0 - round_trip
+        best = min(best, max(dt, 1e-9))
+
+    fps = n_frames / best
     print(json.dumps({
         "metric": "1080p_device_decode_frames_per_s_per_chip",
         "value": round(fps, 2),

@@ -205,7 +205,7 @@ class Decoder(EventDispatcher):
             import jax
 
             from ..kernels.decode import (decode_frame_jit, frame_to_device,
-                                          make_constants)
+                                          make_constants, mv_bucket)
 
             seq = self.parser.seq
             if self._consts is None:
@@ -220,9 +220,12 @@ class Decoder(EventDispatcher):
                               jnp.uint8),
                     jnp.zeros((seq.coded_height // 2, seq.coded_width // 2),
                               jnp.uint8))
-            planes = decode_frame_jit(frame_to_device(ft), self._refs,
-                                      self._consts,
-                                      self.config.quirk_oddify_zeros)
+            cap = mv_bucket(len(np.unique(
+                ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+            planes = decode_frame_jit(
+                frame_to_device(ft, mv_capacity=cap), self._refs,
+                self._consts, self.config.quirk_oddify_zeros,
+                mc_impl="mvset" if cap else "gather")
             self._refs = planes
         return DecodedFrame(planes=planes, picture_type=ft.picture_type,
                             ts_ms=ts)

@@ -64,32 +64,73 @@ jax.tree_util.register_pytree_node(
 # ---------------------------------------------------------------------------
 # Host -> device packing
 
-def frame_to_device(ft, dtype_levels=np.int16) -> dict:
+def mv_bucket(n: int) -> int:
+    """Static distinct-MV capacity buckets (limits recompilation)."""
+    for k in (8, 16, 32, 64, 128, 256):
+        if n <= k:
+            return k
+    return 0                               # too many: gather fallback
+
+
+def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
     """FrameTensors -> pytree of device-ready arrays.
 
     Per-MB sideband is expanded to the per-block grid on the host (for luma
     each MB covers 2x2 blocks) so the device kernels see one uniform block
     grid per plane.
+
+    ``mv_capacity`` > 0 additionally emits the distinct-motion-vector
+    decomposition used by the fast MC path: ``mv_table`` (K, 2) of unique
+    half-pel vectors (row 0 is always (0,0)) and a per-block ``mv_idx``
+    into it.  Pass the same capacity for every frame of a GOP stack.
     """
 
     def mb_to_blocks(a, comp):
         return np.repeat(np.repeat(a, 2, axis=0), 2, axis=1) if comp == 0 \
             else a
 
+    mv_table = mv_idx = None
+    if mv_capacity:
+        flat = ft.mb_mv.reshape(-1, 2).astype(np.int32)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        # force (0,0) to index 0 (skipped MBs, I frames)
+        zero = np.nonzero((uniq == 0).all(axis=1))[0]
+        if len(zero) == 0:
+            uniq = np.concatenate([np.zeros((1, 2), np.int32), uniq])
+            inv = inv + 1
+        elif zero[0] != 0:
+            z = zero[0]
+            uniq[[0, z]] = uniq[[z, 0]]
+            inv = np.where(inv == z, -1, inv)
+            inv = np.where(inv == 0, z, inv)
+            inv = np.where(inv == -1, 0, inv)
+        if len(uniq) > mv_capacity:
+            raise ValueError(
+                f"{len(uniq)} distinct MVs exceed capacity {mv_capacity}")
+        mv_table = np.zeros((mv_capacity, 2), np.int32)
+        mv_table[:len(uniq)] = uniq
+        mv_idx = inv.reshape(ft.mb_mv.shape[:2]).astype(np.int32)
+
     comps = []
     for comp in range(3):
-        comps.append(dict(
+        c = dict(
             levels=ft.levels[comp].astype(dtype_levels),
             lnz=ft.lnz[comp].astype(np.int32),
             q=mb_to_blocks(ft.mb_quant, comp).astype(np.int32),
             intra=mb_to_blocks(ft.mb_intra, comp).astype(np.int32),
             mv=mb_to_blocks(ft.mb_mv, comp).astype(np.int32),
             rep_add=mb_to_blocks(ft.mb_rep_add, comp).astype(np.int32),
-        ))
-    return dict(
+        )
+        if mv_capacity:
+            c["mv_idx"] = mb_to_blocks(mv_idx, comp)
+        comps.append(c)
+    out = dict(
         y=comps[0], cb=comps[1], cr=comps[2],
         is_p=np.int32(0 if ft.is_intra_picture else 1),
     )
+    if mv_capacity:
+        out["mv_table"] = mv_table
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -205,45 +246,127 @@ def predict_plane(ref: jax.Array, mv_blk: jax.Array, rep_add_blk: jax.Array,
     return jnp.where(rep > 0, 0, pred)
 
 
+def predict_plane_mvset(ref: jax.Array, mv_table: jax.Array,
+                        mv_idx_blk: jax.Array, rep_add_blk: jax.Array,
+                        is_chroma: bool, pad: int = 72) -> jax.Array:
+    """Fast MC via distinct-motion-vector decomposition.
+
+    XLA's per-pixel gather lowers to a scalar loop on TPU (~60 ms for a
+    1080p plane); but motion vectors are per-macroblock, so a frame has
+    few *distinct* values.  For each entry of ``mv_table`` this takes ONE
+    dynamic slice of the edge-padded reference (a fast contiguous copy)
+    and blends it in where ``mv_idx`` matches — a lax.scan of K
+    vectorised steps instead of 2M scalar gathers.
+
+    ``pad`` must be a static bound on full-pel displacement + 1
+    (``pad >= 8 * (1 << (f_code - 1)) + 1``); edge-replication padding
+    reproduces the reference's CLAMP_TO_EDGE semantics exactly.
+    """
+    h, w = ref.shape
+    mv_table = jnp.asarray(mv_table)       # allow un-jitted numpy input
+    k_cap = mv_table.shape[0]
+    hb, wb = mv_idx_blk.shape
+    ref_pad = jnp.pad(ref.astype(jnp.int16), pad, mode="edge")
+    idx_px = jnp.broadcast_to(
+        mv_idx_blk[:, None, :, None], (hb, 8, wb, 8)).reshape(h, w)
+
+    def step(pred, k):
+        vy = mv_table[k, 0]
+        vx = mv_table[k, 1]
+        if is_chroma:
+            vy = jax.lax.div(vy, 2)        # trunc toward zero
+            vx = jax.lax.div(vx, 2)
+        fy, oy = vy >> 1, vy & 1
+        fx, ox = vx >> 1, vx & 1
+        win = jax.lax.dynamic_slice(ref_pad, (pad + fy, pad + fx),
+                                    (h + 1, w + 1))
+        a = win[:h, :w]
+        b = win[:h, 1:]
+        c = win[1:, :w]
+        d = win[1:, 1:]
+        bias = (ox + oy + ox * oy + 1) >> 1
+        interp = ((a + ox * b + oy * c + (ox * oy) * d + bias)
+                  >> (ox + oy)).astype(jnp.int16)
+        return jnp.where(idx_px == k, interp, pred), None
+
+    pred0 = jnp.zeros((h, w), jnp.int16)
+    pred, _ = jax.lax.scan(step, pred0, jnp.arange(k_cap))
+    rep = jnp.broadcast_to(
+        rep_add_blk[:, None, :, None], (hb, 8, wb, 8)).reshape(h, w)
+    return jnp.where(rep > 0, 0, pred).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Full frame step
 
 def decode_frame_plane(comp_inputs: dict, ref: jax.Array, is_p: jax.Array,
                        consts: DecodeConstants, is_chroma: bool,
                        quirk_oddify_zeros: bool = False, *, halo: int = 0,
-                       row0=0, h_global: int | None = None) -> jax.Array:
+                       row0=0, h_global: int | None = None,
+                       mv_table: jax.Array | None = None,
+                       mv_pad: int = 72, mc_impl: str = "gather",
+                       mc_range: int = 16) -> jax.Array:
     """One plane of one picture -> reconstructed uint8 plane.
 
     Uniform over I/P so a ``lax.scan`` over a GOP can carry the reference
     planes: for I pictures ``is_p`` zeroes the prediction term.  The
     ``halo``/``row0``/``h_global`` kwargs enable slice-row-sharded use
     (see :func:`predict_plane`).
+
+    ``mc_impl`` selects the prediction formulation:
+
+    * ``"pallas"`` — distinct-MV slices inside a Pallas kernel (fastest;
+      the K-way traffic stays in VMEM);
+    * ``"mvset"``  — distinct-MV dynamic slices in XLA (exact incl. edge
+      clamps; needs ``mv_table``/``mv_idx`` from ``frame_to_device``);
+    * ``"gather"`` — per-pixel gather (exact, slow on TPU; supports
+      sharded halo decoding).
     """
     d = dequant_plane(comp_inputs["levels"], comp_inputs["q"],
                       comp_inputs["intra"], comp_inputs["lnz"], consts,
                       quirk_oddify_zeros)
     res = idct_plane(d, consts)
-    pred = predict_plane(ref, comp_inputs["mv"], comp_inputs["rep_add"],
-                         is_chroma, halo=halo, row0=row0, h_global=h_global)
+    if mc_impl == "pallas":
+        from .pallas_mc import predict_plane_mvset_pallas
+
+        pred = predict_plane_mvset_pallas(
+            ref, mv_table, comp_inputs["mv_idx"], comp_inputs["rep_add"],
+            is_chroma, pad=mv_pad)
+    elif mc_impl == "mvset":
+        pred = predict_plane_mvset(ref, mv_table, comp_inputs["mv_idx"],
+                                   comp_inputs["rep_add"], is_chroma,
+                                   pad=mv_pad)
+    else:
+        pred = predict_plane(ref, comp_inputs["mv"],
+                             comp_inputs["rep_add"], is_chroma, halo=halo,
+                             row0=row0, h_global=h_global)
     pred = pred * is_p.astype(jnp.int32)
     out = jnp.round(pred.astype(jnp.float32) + res)
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
 def decode_frame_planes(frame: dict, refs: tuple, consts: DecodeConstants,
-                        quirk_oddify_zeros: bool = False) -> tuple:
+                        quirk_oddify_zeros: bool = False,
+                        mv_pad: int = 72, mc_impl: str = "mvset",
+                        mc_range: int = 16) -> tuple:
     """All three planes of one picture; ``refs`` = (Y, Cb, Cr) uint8."""
     is_p = frame["is_p"]
-    y = decode_frame_plane(frame["y"], refs[0], is_p, consts, False,
-                           quirk_oddify_zeros)
-    cb = decode_frame_plane(frame["cb"], refs[1], is_p, consts, True,
-                            quirk_oddify_zeros)
-    cr = decode_frame_plane(frame["cr"], refs[2], is_p, consts, True,
-                            quirk_oddify_zeros)
+    mv_table = frame.get("mv_table")
+    if mc_impl in ("mvset", "pallas") and (
+            mv_table is None or "mv_idx" not in frame["y"]):
+        mc_impl = "gather"
+    kw = dict(quirk_oddify_zeros=quirk_oddify_zeros, mv_table=mv_table,
+              mv_pad=mv_pad, mc_impl=mc_impl, mc_range=mc_range)
+    y = decode_frame_plane(frame["y"], refs[0], is_p, consts, False, **kw)
+    cb = decode_frame_plane(frame["cb"], refs[1], is_p, consts, True, **kw)
+    cr = decode_frame_plane(frame["cr"], refs[2], is_p, consts, True, **kw)
     return y, cb, cr
 
 
-@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))
+@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",
+                                             "mc_impl", "mc_range"))
 def decode_frame_jit(frame: dict, refs: tuple, consts: DecodeConstants,
-                     quirk_oddify_zeros: bool = False) -> tuple:
-    return decode_frame_planes(frame, refs, consts, quirk_oddify_zeros)
+                     quirk_oddify_zeros: bool = False,
+                     mc_impl: str = "mvset", mc_range: int = 16) -> tuple:
+    return decode_frame_planes(frame, refs, consts, quirk_oddify_zeros,
+                               mc_impl=mc_impl, mc_range=mc_range)

@@ -1,0 +1,214 @@
+"""Pallas-TPU fused decode kernels.
+
+One kernel fuses what the reference spreads over two WebGL fragment passes
+plus intermediate textures (``decoders/shaders/mpeg1video.js``): integer
+dequantisation, both 1-D IDCT passes, prediction add, and the final
+clamp-to-byte — one HBM round trip per plane instead of four.
+
+MXU mapping: a (TH, TW) tile of the coefficient plane is transformed by
+
+    rows = (I_{TH/8} (x) C) @ tile @ (I_{TW/8} (x) C^T)
+
+two block-diagonal matmuls sized (TH,TH)x(TH,TW) and (TH,TW)x(TW,TW) —
+dense MXU work with no per-8x8-block reshuffling, because a block-diagonal
+operator applies the 8-point IDCT independently to every aligned 8-row /
+8-column group in place.
+
+Per-pixel sideband (quantiser x matrix product, coded-range mask, intra
+flags, DC-override) is precomputed by cheap fused XLA ops into two planes:
+
+* ``mult``  int16 — q * quant_matrix value for this position;
+* ``flags`` uint8 — bit0: non-intra (apply sign pre-add),
+                    bit1: inside coded scan range,
+                    bit2: intra-DC override position.
+
+Motion-compensated prediction enters as a plane input (computed by the
+gather in :mod:`jsvx.kernels.decode`); for intra pictures it is zeros.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tools import refmath
+from .decode import DecodeConstants, predict_plane
+
+
+def _block_diag_idct(n: int, transpose: bool) -> np.ndarray:
+    """kron(I_{n/8}, C or C^T) as an (n, n) float32 matrix."""
+    c = refmath.C_BASIS.astype(np.float32)
+    eye = np.eye(n // 8, dtype=np.float32)
+    return np.kron(eye, c.T if transpose else c)
+
+
+def _pick_tile(n: int, candidates=(64, 32, 16, 8)) -> int:
+    for t in candidates:
+        if n % t == 0:
+            return t
+    raise ValueError(f"plane dimension {n} not a multiple of 8")
+
+
+def _recon_kernel(quirk: bool, lv_ref, mult_ref, flags_ref, pred_ref,
+                  bd_col_ref, bd_row_ref, out_ref):
+    lv = lv_ref[:].astype(jnp.int32)
+    mult = mult_ref[:].astype(jnp.int32)
+    flags = flags_ref[:].astype(jnp.int32)
+
+    sign = jnp.sign(lv)
+    pre_sign = jnp.where(lv < 0, -1, 1) if quirk else sign
+    nonintra = flags & 1
+    pre = 2 * lv + nonintra * pre_sign
+    d = (pre * mult) >> 4                   # floor(x/16), incl. negatives
+    even = (d & 1) == 0
+    if quirk:
+        d = jnp.where(even, d - jnp.where(d > 0, 1, -1), d)
+    else:
+        d = jnp.where(even & (lv != 0), d - sign, d)
+    d = jnp.clip(d, -2048, 2047)
+    d = jnp.where((flags & 2) != 0, d, 0)
+    d = jnp.where((flags & 4) != 0, 8 * lv, d)
+
+    f = d.astype(jnp.float32)
+    cols = jnp.dot(bd_col_ref[:], f, preferred_element_type=jnp.float32)
+    rows = jnp.dot(cols, bd_row_ref[:], preferred_element_type=jnp.float32)
+
+    pix = jnp.round(pred_ref[:].astype(jnp.float32) + rows)
+    # Mosaic has no f32->u8 cast; clamp then hop through int32.
+    out_ref[:] = jnp.clip(pix, 0.0, 255.0).astype(jnp.int32).astype(
+        jnp.uint8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("quirk", "interpret", "th", "tw"))
+def fused_recon_plane(levels: jax.Array, mult: jax.Array, flags: jax.Array,
+                      pred: jax.Array, *, quirk: bool = False,
+                      interpret: bool = False, th: int | None = None,
+                      tw: int | None = None) -> jax.Array:
+    """Fused dequant + 2-D IDCT + prediction add + clamp for one plane."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = levels.shape
+    if w % 128:
+        # Mosaic requires lane-dim tiles of 128; pad the plane (IDCT is
+        # block-diagonal, so padded 8x8 blocks never leak into real ones).
+        w_pad = -(-w // 128) * 128
+        pad = ((0, 0), (0, w_pad - w))
+        out = fused_recon_plane(
+            jnp.pad(levels, pad), jnp.pad(mult, pad), jnp.pad(flags, pad),
+            jnp.pad(pred, pad), quirk=quirk, interpret=interpret, th=th,
+            tw=tw)
+        return out[:, :w]
+    th = th or _pick_tile(h)
+    tw = tw or _pick_tile(w, (128,))
+    bd_col = jnp.asarray(_block_diag_idct(th, transpose=False))
+    bd_row = jnp.asarray(_block_diag_idct(tw, transpose=True))
+
+    grid = (h // th, w // tw)
+    tile_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    const_col = pl.BlockSpec((th, th), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+    const_row = pl.BlockSpec((tw, tw), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_recon_kernel, quirk),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
+        grid=grid,
+        in_specs=[tile_spec, tile_spec, tile_spec, tile_spec,
+                  const_col, const_row],
+        out_specs=tile_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w * (th + tw),
+            bytes_accessed=h * w * (2 + 2 + 1 + 1 + 1),
+            transcendentals=0),
+    )(levels, mult, flags, pred, bd_col, bd_row)
+
+
+# ---------------------------------------------------------------------------
+# Sideband expansion (fused XLA prologue)
+
+
+def expand_sideband(comp_inputs: dict, consts: DecodeConstants,
+                    is_p: jax.Array) -> tuple:
+    """Per-block sideband -> per-pixel (mult int16, flags uint8) planes."""
+    q = comp_inputs["q"]
+    intra = comp_inputs["intra"] > 0
+    lnz = comp_inputs["lnz"]
+    hb, wb = q.shape
+    h, w = hb * 8, wb * 8
+
+    def up(a):
+        return jnp.broadcast_to(a[:, None, :, None], (hb, 8, wb, 8))
+
+    mi = consts.intra_q.reshape(1, 8, 1, 8)
+    mn = consts.non_intra_q.reshape(1, 8, 1, 8)
+    m = jnp.where(up(intra), mi, mn)
+    mult = (up(q) * m).astype(jnp.int16).reshape(h, w)
+
+    scan = consts.scan_pos.reshape(1, 8, 1, 8)
+    in_range = scan < up(lnz)
+    is_dc = ((jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1, 8), 1) == 0)
+             & (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1, 8), 3) == 0))
+    flags = (jnp.where(up(intra), 0, 1)
+             + jnp.where(in_range, 2, 0)
+             + jnp.where(is_dc & up(intra), 4, 0))
+    return mult, flags.astype(jnp.uint8).reshape(h, w)
+
+
+def decode_frame_plane_pallas(comp_inputs: dict, ref: jax.Array,
+                              is_p: jax.Array, consts: DecodeConstants,
+                              is_chroma: bool,
+                              quirk_oddify_zeros: bool = False,
+                              interpret: bool = False,
+                              mv_table: jax.Array | None = None,
+                              mv_pad: int = 72,
+                              mc_impl: str = "pallas") -> jax.Array:
+    """Drop-in Pallas variant of :func:`jsvx.kernels.decode.decode_frame_plane`."""
+    mult, flags = expand_sideband(comp_inputs, consts, is_p)
+    if mc_impl == "pallas" and mv_table is not None:
+        from .pallas_mc import predict_plane_mvset_pallas
+
+        pred = predict_plane_mvset_pallas(
+            ref, mv_table, comp_inputs["mv_idx"], comp_inputs["rep_add"],
+            is_chroma, pad=mv_pad, interpret=interpret)
+    elif mc_impl == "mvset" and mv_table is not None:
+        from .decode import predict_plane_mvset
+
+        pred = predict_plane_mvset(ref, mv_table, comp_inputs["mv_idx"],
+                                   comp_inputs["rep_add"], is_chroma,
+                                   pad=mv_pad)
+    else:
+        pred = predict_plane(ref, comp_inputs["mv"],
+                             comp_inputs["rep_add"], is_chroma)
+    pred = (pred * is_p.astype(jnp.int32)).astype(jnp.int32)
+    return fused_recon_plane(
+        comp_inputs["levels"].astype(jnp.int16), mult, flags, pred,
+        quirk=quirk_oddify_zeros, interpret=interpret)
+
+
+def decode_frame_planes_pallas(frame: dict, refs: tuple,
+                               consts: DecodeConstants,
+                               quirk_oddify_zeros: bool = False,
+                               interpret: bool = False,
+                               mv_pad: int = 72,
+                               mc_impl: str = "pallas") -> tuple:
+    is_p = frame["is_p"]
+    mv_table = frame.get("mv_table")
+    if mv_table is None or "mv_idx" not in frame["y"]:
+        mc_impl_eff = "gather"
+        mv_table = None
+    else:
+        mc_impl_eff = mc_impl
+    return tuple(
+        decode_frame_plane_pallas(frame[k], refs[i], is_p, consts, i != 0,
+                                  quirk_oddify_zeros, interpret,
+                                  mv_table=mv_table, mv_pad=mv_pad,
+                                  mc_impl=mc_impl_eff)
+        for i, k in enumerate(("y", "cb", "cr")))

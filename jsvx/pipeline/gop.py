@@ -31,19 +31,33 @@ def zero_refs(coded_h: int, coded_w: int) -> tuple:
             jnp.zeros((coded_h // 2, coded_w // 2), dtype=jnp.uint8))
 
 
-@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))
+@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",
+                                             "mc_impl", "mc_range",
+                                             "impl"))
 def decode_gop_scan(stacked: dict, init_refs: tuple,
                     consts: DecodeConstants,
-                    quirk_oddify_zeros: bool = False) -> tuple:
+                    quirk_oddify_zeros: bool = False,
+                    mc_impl: str = "mvset", mc_range: int = 16,
+                    impl: str = "xla") -> tuple:
     """Decode a stacked GOP; returns ((Y, Cb, Cr) stacks, final refs).
 
     The sequential P->I dependence is the scan carry; everything inside a
     step is batched dense math (dequant + IDCT + MC over whole planes).
+    ``impl="pallas"`` uses the fused Pallas kernels (TPU fast path).
     """
 
     def step(refs, frame):
-        planes = decode_frame_planes(frame, refs, consts,
-                                     quirk_oddify_zeros)
+        if impl == "pallas":
+            from ..kernels.pallas_decode import decode_frame_planes_pallas
+
+            planes = decode_frame_planes_pallas(
+                frame, refs, consts, quirk_oddify_zeros,
+                mc_impl="pallas" if mc_impl == "mvset" else mc_impl)
+        else:
+            planes = decode_frame_planes(frame, refs, consts,
+                                         quirk_oddify_zeros,
+                                         mc_impl=mc_impl,
+                                         mc_range=mc_range)
         return planes, planes
 
     final_refs, outs = jax.lax.scan(step, init_refs, stacked)

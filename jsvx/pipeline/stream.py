@@ -62,12 +62,30 @@ class JaxStreamDecoder:
                 if ft is not None:
                     out.append(ft)
 
-    def decode(self, use_gop_scan: bool = True) -> StreamResult:
+    def decode(self, use_gop_scan: bool = True,
+               impl: str | None = None) -> StreamResult:
+        """``impl``: "pallas" (TPU fused kernels), "xla", or None = auto
+        (pallas on TPU platforms, xla elsewhere)."""
+        import jax as _jax
+
+        if impl is None:
+            platform = _jax.devices()[0].platform
+            impl = "xla" if platform == "cpu" else "pallas"
         fts = self.parse_all()
         seq = self.parser.seq
         consts = make_constants(seq)
         refs = zero_refs(seq.coded_height, seq.coded_width)
         frames = []
+
+        def capacity_for(group):
+            from ..kernels.decode import mv_bucket
+
+            n = 1
+            for ft in group:
+                n = max(n, len(np.unique(
+                    ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+            return mv_bucket(n)
+
         if use_gop_scan:
             # split into GOPs at I pictures, scan each
             gops, cur = [], []
@@ -79,17 +97,21 @@ class JaxStreamDecoder:
             if cur:
                 gops.append(cur)
             for gop in gops:
+                cap = capacity_for(gop)
                 stacked = stack_device_frames(
-                    [frame_to_device(ft) for ft in gop])
-                outs, refs = decode_gop_scan(stacked, refs, consts,
-                                             self.quirk)
+                    [frame_to_device(ft, mv_capacity=cap) for ft in gop])
+                outs, refs = decode_gop_scan(
+                    stacked, refs, consts, self.quirk,
+                    mc_impl="mvset" if cap else "gather", impl=impl)
                 ys, cbs, crs = outs
                 for i in range(len(gop)):
                     frames.append((ys[i], cbs[i], crs[i]))
         else:
             for ft in fts:
-                planes = decode_frame_jit(frame_to_device(ft), refs, consts,
-                                          self.quirk)
+                cap = capacity_for([ft])
+                planes = decode_frame_jit(
+                    frame_to_device(ft, mv_capacity=cap), refs, consts,
+                    self.quirk, mc_impl="mvset" if cap else "gather")
                 refs = planes
                 frames.append(planes)
         return StreamResult(frames=frames,

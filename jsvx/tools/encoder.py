@@ -288,6 +288,13 @@ class JsvEncoder:
 
             for col in range(self.mb_w):
                 mv = np.clip(mvs[row, col], -half_range - 1, half_range)
+                # MPEG-1 forbids references outside the picture; keep the
+                # half-pel interpolation window (17x17) fully in bounds.
+                hh, ww = y.shape
+                mv = np.clip(
+                    mv,
+                    [-32 * row, -32 * col],
+                    [2 * (hh - 16 * row - 18), 2 * (ww - 16 * col - 18)])
                 mv_t = (int(mv[0]), int(mv[1]))
                 ymb = y[row * 16:row * 16 + 16, col * 16:col * 16 + 16]
                 pred_y = _mc_luma(ref[0], row, col, mv_t)
