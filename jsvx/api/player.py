@@ -546,6 +546,20 @@ class Player(EventDispatcher):
         self.emit("ended")
 
     # ------------------------------------------------------------------
+    # Page-visibility auto-pause (features/pagevisibility.js analog)
+
+    def set_visible(self, visible: bool) -> None:
+        """Host-app visibility hook: hidden pauses playback, visible
+        resumes it if the pause was visibility-induced
+        (easybits.player.js:1857-1865)."""
+        if not visible and not self._paused:
+            self._paused_by_visibility = True
+            self.pause()
+        elif visible and getattr(self, "_paused_by_visibility", False):
+            self._paused_by_visibility = False
+            self.play()
+
+    # ------------------------------------------------------------------
     # A/V sync (checkAVSync analog)
 
     def _check_av_sync(self) -> None:

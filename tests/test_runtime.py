@@ -1,0 +1,106 @@
+"""Parallel parse, transcode pipeline, manifest checkpoint/resume,
+profiler subsystem."""
+
+import numpy as np
+import pytest
+
+from jsvx.pipeline.parallel_parse import parse_stream_parallel
+from jsvx.pipeline.stream import JaxStreamDecoder
+from jsvx.pipeline.transcode import transcode
+from jsvx.runtime.multihost import GopManifest
+from jsvx.runtime.profiler import FpsMeter, Metrics, StageTimer
+from jsvx.tools.encoder import EncoderConfig, JsvEncoder
+from jsvx.tools.oracle import decode_stream_oracle
+
+from conftest import synthetic_frames
+
+
+@pytest.fixture(scope="module")
+def stream():
+    clip = synthetic_frames(9, 64, 80, seed=21)
+    data = JsvEncoder(80, 64, EncoderConfig(
+        gop_size=3, quantizer_scale=4)).encode(clip)
+    return data, clip
+
+
+def test_parallel_parse_matches_serial(stream):
+    data, _ = stream
+    serial = JaxStreamDecoder(data).parse_all()
+    par = parse_stream_parallel(data, n_threads=4)
+    assert len(par.frames) == len(serial)
+    assert par.gop_starts == [0, 3, 6]
+    for a, b in zip(serial, par.frames):
+        for i in range(3):
+            np.testing.assert_array_equal(a.levels[i], b.levels[i])
+            np.testing.assert_array_equal(a.lnz[i], b.lnz[i])
+        np.testing.assert_array_equal(a.mb_mv, b.mb_mv)
+        np.testing.assert_array_equal(a.mb_quant, b.mb_quant)
+        assert a.gop_time_ms == b.gop_time_ms
+
+
+def test_transcode_matches_oracle(stream):
+    data, _ = stream
+    got = {}
+    res = transcode(data, sink=lambda gi, outs: got.update({gi: outs}))
+    assert res.n_frames == 9 and res.n_gops == 3
+    oracle = decode_stream_oracle(data)
+    k = 0
+    for gi in sorted(got):
+        ys, cbs, crs = got[gi]
+        for i in range(ys.shape[0]):
+            for a, b in zip((ys[i], cbs[i], crs[i]), oracle[k].planes):
+                assert np.abs(np.asarray(a).astype(int)
+                              - b.astype(int)).max() <= 1
+            k += 1
+    assert k == 9
+    stages = res.metrics.timers.report()
+    assert {"parse", "pack", "device_decode", "sink"} <= set(stages)
+
+
+def test_manifest_build_and_assignment(stream):
+    data, _ = stream
+    m = GopManifest.from_stream(data)
+    assert len(m.spans) == 3
+    # spans tile the stream after the header
+    assert m.spans[0].byte_end == m.spans[1].byte_start
+    assert m.spans[-1].byte_end == len(data)
+    a0 = m.assigned(0, 2)
+    a1 = m.assigned(1, 2)
+    assert {s.index for s in a0} == {0, 2}
+    assert {s.index for s in a1} == {1}
+
+
+def test_manifest_checkpoint_resume(stream, tmp_path):
+    data, _ = stream
+    journal = str(tmp_path / "journal.jsonl")
+    m = GopManifest.from_stream(data, journal_path=journal)
+    # decode only GOP 0 and 2 (process 0 of 2), journaling progress
+    res = transcode(data, manifest=m, process_id=0, process_count=2)
+    assert res.n_gops == 2 and m.n_done == 2
+
+    # resume in a fresh manifest: nothing pending for process 0
+    m2 = GopManifest.from_stream(data, journal_path=journal)
+    assert m2.n_done == 2
+    assert m2.pending(0, 2) == []
+    assert [s.index for s in m2.pending(1, 2)] == [1]
+    res2 = transcode(data, manifest=m2, process_id=1, process_count=2)
+    assert res2.n_gops == 1 and m2.complete
+
+
+def test_profiler_primitives():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    assert t.report()["a"]["count"] == 2
+    f = FpsMeter()
+    f.tick()
+    f.tick()
+    assert f.fps > 0
+    m = Metrics()
+    m.count("x")
+    m.gauge("g", 3)
+    d = m.to_dict()
+    assert d["counters"]["x"] == 1 and d["gauges"]["g"] == 3
+    assert isinstance(m.json_line(), str)
