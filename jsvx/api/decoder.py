@@ -183,6 +183,15 @@ class Decoder(EventDispatcher):
     def ended(self) -> bool:
         return self._ended
 
+    def iter_frames(self):
+        """Yield frames until end of stream (data must be fed; stops at a
+        stall — check ``ended`` to distinguish starvation from EOS)."""
+        while True:
+            frame = self.decode_frame()
+            if frame is None:
+                return
+            yield frame
+
     def _on_sequence(self, seq) -> None:
         if self.meta and seq.bit_rate:
             self.buffer.bytes_backward_limit = int(

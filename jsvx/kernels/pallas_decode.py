@@ -135,31 +135,55 @@ def fused_recon_plane(levels: jax.Array, mult: jax.Array, flags: jax.Array,
 # Sideband expansion (fused XLA prologue)
 
 
+@functools.lru_cache(maxsize=16)
+def _static_tiles(h: int, w: int, intra_q_key, non_intra_q_key):
+    """Per-shape static (h, w) tiles of the 8x8 constants (cached)."""
+    mi = np.tile(np.asarray(intra_q_key, np.int32).reshape(8, 8),
+                 (h // 8, w // 8))
+    mn = np.tile(np.asarray(non_intra_q_key, np.int32).reshape(8, 8),
+                 (h // 8, w // 8))
+    from ..coding import tables as T
+
+    scan = np.tile(T.ZIG_ZAG_INVERSE.reshape(8, 8).astype(np.int32),
+                   (h // 8, w // 8))
+    dc = np.zeros((8, 8), np.int32)
+    dc[0, 0] = 1
+    dc = np.tile(dc, (h // 8, w // 8))
+    # plain numpy: under jit these become hoisted compile-time constants
+    return mi, mn, scan, dc
+
+
 def expand_sideband(comp_inputs: dict, consts: DecodeConstants,
                     is_p: jax.Array) -> tuple:
-    """Per-block sideband -> per-pixel (mult int16, flags uint8) planes."""
+    """Per-block sideband -> per-pixel (mult int16, flags uint8) planes.
+
+    Inputs are expanded to (h, w) first (broadcast+reshape of views is
+    cheap; reshaping *computed* 4D arrays forces layout shuffles), then
+    combined elementwise against statically-cached full-plane tiles of
+    the 8x8 constants.
+    """
     q = comp_inputs["q"]
-    intra = comp_inputs["intra"] > 0
+    intra_blk = comp_inputs["intra"]
     lnz = comp_inputs["lnz"]
     hb, wb = q.shape
     h, w = hb * 8, wb * 8
 
     def up(a):
-        return jnp.broadcast_to(a[:, None, :, None], (hb, 8, wb, 8))
+        return jnp.broadcast_to(
+            a[:, None, :, None], (hb, 8, wb, 8)).reshape(h, w)
 
-    mi = consts.intra_q.reshape(1, 8, 1, 8)
-    mn = consts.non_intra_q.reshape(1, 8, 1, 8)
-    m = jnp.where(up(intra), mi, mn)
-    mult = (up(q) * m).astype(jnp.int16).reshape(h, w)
+    mi_t, mn_t, scan_t, dc_t = _static_tiles(
+        h, w, tuple(np.asarray(consts.intra_q).reshape(-1).tolist()),
+        tuple(np.asarray(consts.non_intra_q).reshape(-1).tolist()))
 
-    scan = consts.scan_pos.reshape(1, 8, 1, 8)
-    in_range = scan < up(lnz)
-    is_dc = ((jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1, 8), 1) == 0)
-             & (jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1, 8), 3) == 0))
-    flags = (jnp.where(up(intra), 0, 1)
-             + jnp.where(in_range, 2, 0)
-             + jnp.where(is_dc & up(intra), 4, 0))
-    return mult, flags.astype(jnp.uint8).reshape(h, w)
+    q_px = up(q)
+    intra_px = up(intra_blk)
+    lnz_px = up(lnz)
+    mult = (q_px * jnp.where(intra_px > 0, mi_t, mn_t)).astype(jnp.int16)
+    flags = (jnp.where(intra_px > 0, 0, 1)
+             + jnp.where(scan_t < lnz_px, 2, 0)
+             + jnp.where((dc_t > 0) & (intra_px > 0), 4, 0))
+    return mult, flags.astype(jnp.uint8)
 
 
 def decode_frame_plane_pallas(comp_inputs: dict, ref: jax.Array,

@@ -186,6 +186,47 @@ class HttpSource(ByteSource):
         handle.cancelled = True
 
 
+class ChaosSource(ByteSource):
+    """Fault-injection wrapper for resilience testing: drops a fraction
+    of chunks, delays others, and can fail whole requests — exercising
+    the stall/refill and error paths the way flaky networks do."""
+
+    def __init__(self, inner: ByteSource, drop_rate: float = 0.0,
+                 error_rate: float = 0.0, delay_s: float = 0.0, seed: int = 0):
+        import random
+
+        self._inner = inner
+        self._rng = random.Random(seed)
+        self.drop_rate = drop_rate
+        self.error_rate = error_rate
+        self.delay_s = delay_s
+
+    def total_length(self):
+        return self._inner.total_length()
+
+    def request(self, start, end, on_data, on_error=None, on_complete=None,
+                chunk_size: int = 300000):
+        import time as _t
+
+        if self._rng.random() < self.error_rate:
+            if on_error:
+                on_error(IOError("injected network error"))
+            return _CancelFlag()
+
+        def wrapped(s, d, t):
+            if self._rng.random() < self.drop_rate:
+                return                      # lost chunk -> future stall
+            if self.delay_s:
+                _t.sleep(self.delay_s)
+            on_data(s, d, t)
+
+        return self._inner.request(start, end, wrapped, on_error,
+                                   on_complete, chunk_size)
+
+    def cancel(self, handle):
+        self._inner.cancel(handle)
+
+
 def source_for(src: str | bytes) -> ByteSource:
     """src string/bytes -> appropriate ByteSource."""
     if isinstance(src, (bytes, bytearray)):

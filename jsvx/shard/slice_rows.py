@@ -77,16 +77,24 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
     h_globals = (init_refs[0].shape[0], init_refs[1].shape[0],
                  init_refs[2].shape[0])
 
-    def comp_spec():
-        return dict(levels=P(None, axis_name, None),
-                    lnz=P(None, axis_name, None),
-                    q=P(None, axis_name, None),
-                    intra=P(None, axis_name, None),
-                    mv=P(None, axis_name, None, None),
-                    rep_add=P(None, axis_name, None))
+    has_mvset = "mv_table" in stacked
 
-    in_specs = (dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),
-                     is_p=P(None)),
+    def comp_spec():
+        d = dict(levels=P(None, axis_name, None),
+                 lnz=P(None, axis_name, None),
+                 q=P(None, axis_name, None),
+                 intra=P(None, axis_name, None),
+                 mv=P(None, axis_name, None, None),
+                 rep_add=P(None, axis_name, None))
+        if has_mvset:
+            d["mv_idx"] = P(None, axis_name, None)
+        return d
+
+    top_spec = dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),
+                    is_p=P(None))
+    if has_mvset:
+        top_spec["mv_table"] = P(None, None, None)   # replicated
+    in_specs = (top_spec,
                 (P(axis_name, None), P(axis_name, None), P(axis_name, None)))
     out_specs = ((P(None, axis_name, None),) * 3,
                  (P(axis_name, None),) * 3)
@@ -123,16 +131,24 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
     h_globals = (init_refs[0].shape[1], init_refs[1].shape[1],
                  init_refs[2].shape[1])
 
-    def comp_spec():
-        return dict(levels=P(gop_axis, None, rows_axis, None),
-                    lnz=P(gop_axis, None, rows_axis, None),
-                    q=P(gop_axis, None, rows_axis, None),
-                    intra=P(gop_axis, None, rows_axis, None),
-                    mv=P(gop_axis, None, rows_axis, None, None),
-                    rep_add=P(gop_axis, None, rows_axis, None))
+    has_mvset = "mv_table" in batch
 
-    in_specs = (dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),
-                     is_p=P(gop_axis, None)),
+    def comp_spec():
+        d = dict(levels=P(gop_axis, None, rows_axis, None),
+                 lnz=P(gop_axis, None, rows_axis, None),
+                 q=P(gop_axis, None, rows_axis, None),
+                 intra=P(gop_axis, None, rows_axis, None),
+                 mv=P(gop_axis, None, rows_axis, None, None),
+                 rep_add=P(gop_axis, None, rows_axis, None))
+        if has_mvset:
+            d["mv_idx"] = P(gop_axis, None, rows_axis, None)
+        return d
+
+    top_spec = dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),
+                    is_p=P(gop_axis, None))
+    if has_mvset:
+        top_spec["mv_table"] = P(gop_axis, None, None, None)
+    in_specs = (top_spec,
                 (P(gop_axis, rows_axis, None),) * 3)
     out_specs = ((P(gop_axis, None, rows_axis, None),) * 3,
                  (P(gop_axis, rows_axis, None),) * 3)

@@ -1,0 +1,143 @@
+"""CLI tool, fault injection, iter_frames, 2-axis sharded decode."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from jsvx.__main__ import main as cli_main
+from jsvx.api import Decoder, Player, PlayerConfig
+from jsvx.runtime.source import ChaosSource, MemorySource
+from jsvx.tools.encoder import EncoderConfig, JsvEncoder
+
+from conftest import synthetic_frames
+
+
+@pytest.fixture(scope="module")
+def stream_file(tmp_path_factory):
+    clip = synthetic_frames(6, 48, 64, seed=31)
+    data = JsvEncoder(64, 48, EncoderConfig(
+        gop_size=3, quantizer_scale=4)).encode(clip)
+    path = tmp_path_factory.mktemp("cli") / "clip.jsv"
+    path.write_bytes(data)
+    return str(path), data, clip
+
+
+def test_cli_info(stream_file, capsys):
+    path, data, clip = stream_file
+    assert cli_main(["info", path]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["width"] == 64 and info["height"] == 48
+    assert info["pictures"] == 6 and info["gops"] == 2
+    assert info["gop_key_map"] == 2
+
+
+def test_cli_decode_rgb(stream_file, tmp_path, capsys):
+    path, data, clip = stream_file
+    out = str(tmp_path / "frames")
+    assert cli_main(["decode", path, out, "--rgb", "--impl", "oracle"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["frames"] == 6
+    ppms = sorted(os.listdir(out))
+    assert len(ppms) == 6 and ppms[0].endswith(".ppm")
+    head = open(os.path.join(out, ppms[0]), "rb").read(20)
+    assert head.startswith(b"P6\n64 48\n255\n")
+
+
+def test_cli_encode_roundtrip(stream_file, tmp_path, capsys):
+    _, _, clip = stream_file
+    npz = str(tmp_path / "frames.npz")
+    np.savez(npz, y=np.stack([f[0] for f in clip]),
+             cb=np.stack([f[1] for f in clip]),
+             cr=np.stack([f[2] for f in clip]))
+    out = str(tmp_path / "enc.jsv")
+    assert cli_main(["encode", npz, out, "--gop", "3", "--q", "4"]) == 0
+    enc_line = capsys.readouterr().out.splitlines()[0]
+    assert json.loads(enc_line)["frames"] == 6
+    from jsvx.tools.oracle import decode_stream_oracle
+
+    frames = decode_stream_oracle(open(out, "rb").read())
+    assert len(frames) == 6
+
+
+def test_decoder_iter_frames(stream_file):
+    _, data, clip = stream_file
+    dec = Decoder(PlayerConfig(), backend="oracle")
+    dec.feed(0, data, len(data))
+    frames = list(dec.iter_frames())
+    assert len(frames) == 6 and dec.ended
+
+
+def test_player_survives_chaotic_network(stream_file):
+    """Dropped chunks create buffer holes; stall/refill must self-heal."""
+    _, data, clip = stream_file
+    p = Player(PlayerConfig(chunk_size=300), backend="oracle")
+    chaotic = ChaosSource(MemorySource(data), drop_rate=0.4, seed=3)
+    # inject by bypassing source_for
+    p._sources = [type("V", (), {"src": data, "bitrate": 0})()]
+    p._reset_for_source()
+    p.emit("loadstart")
+    p._source = chaotic
+    p._request_range(0)
+    p.play()
+    shown = []
+    p.set_frame_sink(lambda f, t: shown.append(t))
+    t = 0.0
+    for _ in range(400):
+        t += 1 / 30.0
+        p.tick(t)
+        if p.ended:
+            break
+    assert len(shown) == len(clip), f"only {len(shown)} frames shown"
+    assert p.ended
+
+
+def test_chaos_error_path(stream_file):
+    _, data, _ = stream_file
+    p = Player(PlayerConfig(), backend="oracle")
+    errors = []
+    p.on("error", errors.append)
+    p._sources = [type("V", (), {"src": data, "bitrate": 0})()]
+    p._reset_for_source()
+    p._source = ChaosSource(MemorySource(data), error_rate=1.0)
+    p._request_range(0)
+    assert errors and errors[0].code == errors[0].MEDIA_ERR_NETWORK
+
+
+def test_two_axis_sharded_equals_single():
+    """decode_gops_2d_sharded == per-GOP single-device decode."""
+    import jax
+
+    from jsvx.kernels.decode import frame_to_device, make_constants
+    from jsvx.pipeline.gop import (decode_gop_scan, stack_device_frames,
+                                   zero_refs)
+    from jsvx.pipeline.stream import JaxStreamDecoder
+    from jsvx.shard import build_mesh
+    from jsvx.shard.slice_rows import decode_gops_2d_sharded
+
+    clip = synthetic_frames(6, 128, 64, seed=41)
+    data = JsvEncoder(64, 128, EncoderConfig(
+        gop_size=3, quantizer_scale=4, me_range=4)).encode(clip)
+    d = JaxStreamDecoder(data)
+    fts = d.parse_all()
+    seq = d.parser.seq
+    consts = make_constants(seq)
+    gops = [fts[:3], fts[3:]]
+    stacks = [stack_device_frames([frame_to_device(ft) for ft in g])
+              for g in gops]
+    singles = [decode_gop_scan(
+        s, zero_refs(seq.coded_height, seq.coded_width), consts,
+        mc_impl="gather")[0] for s in stacks]
+
+    batch = jax.tree.map(lambda *xs: np.stack(xs), *stacks)
+    init = tuple(
+        np.zeros((2,) + np.asarray(z).shape, np.uint8)
+        for z in zero_refs(seq.coded_height, seq.coded_width))
+    mesh = build_mesh({"gop": 2, "rows": 4})
+    outs, final = decode_gops_2d_sharded(batch, init, consts, mesh,
+                                         halo_y=32)
+    for g in range(2):
+        for comp in range(3):
+            assert np.array_equal(np.asarray(outs[comp][g]),
+                                  np.asarray(singles[g][comp]))
