@@ -69,6 +69,7 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32,
             i16p, i16p, i16p, u8p, u8p, u8p, u8p, u8p, i16p, u8p,
+            u8p, u8p, i16p, i16p, i16p, u8p, u8p, u8p,
         ]
         _lib = lib
         return _lib
@@ -115,15 +116,39 @@ class NativeStreamParser:
             pass
 
     def parse_picture_slices(self, data: np.ndarray, start_bit: int,
-                             ft, mb_w: int, mb_h: int) -> int:
+                             ft, mb_w: int, mb_h: int,
+                             seq=None) -> int:
         """Parse all slices of one picture into ``ft`` (FrameTensors).
 
         ``data`` is the full stream as a contiguous uint8 array;
         ``start_bit`` the absolute bit position just after the picture
-        header.  Returns the byte offset of the picture-terminating start
-        code (or len(data)).
+        header.  With ``seq`` (for its quant matrices) the per-pixel
+        dequant sideband (``ft.mult``/``ft.flags``) is emitted in the
+        same pass.  Returns the byte offset of the picture-terminating
+        start code (or len(data)).
         """
         assert data.dtype == np.uint8 and data.flags.c_contiguous
+        null16 = ctypes.POINTER(ctypes.c_int16)()
+        null8 = ctypes.POINTER(ctypes.c_uint8)()
+        if seq is not None:
+            iq = np.ascontiguousarray(seq.intra_q, dtype=np.uint8)
+            nq = np.ascontiguousarray(seq.non_intra_q, dtype=np.uint8)
+            ft.mult = tuple(np.zeros(p.shape, np.int16)
+                            for p in ft.levels)
+            ft.flags = tuple(np.zeros(p.shape, np.uint8)
+                             for p in ft.levels)
+            extra = [_as(iq, ctypes.c_uint8), _as(nq, ctypes.c_uint8),
+                     _as(ft.mult[0], ctypes.c_int16),
+                     _as(ft.mult[1], ctypes.c_int16),
+                     _as(ft.mult[2], ctypes.c_int16),
+                     _as(ft.flags[0], ctypes.c_uint8),
+                     _as(ft.flags[1], ctypes.c_uint8),
+                     _as(ft.flags[2], ctypes.c_uint8)]
+            keep = (iq, nq)
+        else:
+            extra = [null8, null8, null16, null16, null16,
+                     null8, null8, null8]
+            keep = ()
         rc = self._lib.jsv_parse_picture_slices(
             self._handle, _as(data, ctypes.c_uint8), data.size, start_bit,
             mb_w, mb_h, ft.picture_type,
@@ -138,7 +163,9 @@ class NativeStreamParser:
             _as(ft.mb_intra, ctypes.c_uint8),
             _as(ft.mb_mv, ctypes.c_int16),
             _as(ft.mb_rep_add, ctypes.c_uint8),
+            *extra,
         )
+        del keep
         if rc < 0:
             raise ValueError(
                 f"native parse failed: {_ERRORS.get(rc, rc)}")

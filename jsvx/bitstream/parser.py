@@ -74,6 +74,12 @@ class FrameTensors:
     mb_intra: np.ndarray         # uint8[mbH, mbW] (0/1)
     mb_mv: np.ndarray            # int16[mbH, mbW, 2] (vy, vx) half-pel
     mb_rep_add: np.ndarray       # uint8[mbH, mbW] zero-prediction flag
+    # device-ready per-pixel dequant sideband, emitted by the native
+    # parser in its block pass (None from the Python spec parser):
+    #   mult  int16 = quantizer_scale * quant-matrix value
+    #   flags uint8 = bit0 non-intra, bit1 in coded range, bit2 intra DC
+    mult: tuple | None = None
+    flags: tuple | None = None
 
     @property
     def is_intra_picture(self) -> bool:
@@ -220,7 +226,7 @@ class StreamParser:
             data_arr = np.frombuffer(r.data, dtype=np.uint8)
             rel_bit = r.bit_pos - (r.base << 3)
             end_rel = self._native.parse_picture_slices(
-                data_arr, rel_bit, ft, mb_w, mb_h)
+                data_arr, rel_bit, ft, mb_w, mb_h, seq)
             r.seek_bits((r.base + end_rel) << 3)
             return ft
 

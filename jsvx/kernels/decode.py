@@ -123,6 +123,9 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
         )
         if mv_capacity:
             c["mv_idx"] = mb_to_blocks(mv_idx, comp)
+        if ft.mult is not None:
+            c["mult"] = ft.mult[comp]
+            c["flags"] = ft.flags[comp]
         comps.append(c)
     out = dict(
         y=comps[0], cb=comps[1], cr=comps[2],

@@ -195,7 +195,11 @@ def decode_frame_plane_pallas(comp_inputs: dict, ref: jax.Array,
                               mv_pad: int = 72,
                               mc_impl: str = "pallas") -> jax.Array:
     """Drop-in Pallas variant of :func:`jsvx.kernels.decode.decode_frame_plane`."""
-    mult, flags = expand_sideband(comp_inputs, consts, is_p)
+    if "mult" in comp_inputs:
+        # parser-emitted per-pixel sideband: no device expansion needed
+        mult, flags = comp_inputs["mult"], comp_inputs["flags"]
+    else:
+        mult, flags = expand_sideband(comp_inputs, consts, is_p)
     if mc_impl == "pallas" and mv_table is not None:
         from .pallas_mc import predict_plane_mvset_pallas
 

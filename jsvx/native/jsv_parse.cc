@@ -82,6 +82,7 @@ struct BitReader {
 struct Parser {
   Lut addr, type_i, type_p, cbp, motion, dc_lum, dc_chrom, coeff;
   uint8_t zigzag[64];
+  uint8_t zigzag_inv[64];   // spatial position -> scan index
 };
 
 struct SliceState {
@@ -105,6 +106,13 @@ struct PictureOut {
   uint8_t* mb_intra;
   int16_t* mb_mv;     // (mbH, mbW, 2) = (vy, vx)
   uint8_t* mb_rep_add;
+  // optional device-ready per-pixel dequant sideband (may be null):
+  //   mult  = quantizer_scale * quant_matrix value at this position
+  //   flags = bit0 non-intra, bit1 inside coded scan range, bit2 intra DC
+  int16_t* mult[3] = {nullptr, nullptr, nullptr};
+  uint8_t* flags[3] = {nullptr, nullptr, nullptr};
+  const uint8_t* intra_q = nullptr;      // 64, spatial order
+  const uint8_t* non_intra_q = nullptr;
 };
 
 struct PictureCtx {
@@ -213,6 +221,25 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     for (int j = 0; j < 8; ++j)
       dst[j] = (int16_t)block_data[i * 8 + j];
     dst += stride;
+  }
+  if (o.mult[comp] != nullptr) {
+    // emit the per-pixel dequant sideband in the same pass
+    const uint8_t* m = intra ? o.intra_q : o.non_intra_q;
+    const int32_t q = s.quantizer_scale;
+    int16_t* md = o.mult[comp] + (int64_t)by * 8 * stride + bx * 8;
+    uint8_t* fd = o.flags[comp] + (int64_t)by * 8 * stride + bx * 8;
+    for (int i = 0; i < 8; ++i) {
+      for (int j = 0; j < 8; ++j) {
+        int pos = i * 8 + j;
+        md[j] = (int16_t)(q * m[pos]);
+        uint8_t f = intra ? 0 : 1;
+        if (p.zigzag_inv[pos] < n) f |= 2;
+        if (pos == 0 && intra) f |= 4;
+        fd[j] = f;
+      }
+      md += stride;
+      fd += stride;
+    }
   }
   uint8_t lnz = (uint8_t)(n > 255 ? 255 : n);
   if (comp == 0) o.lnz_y[(int64_t)by * (c.mb_w * 2) + bx] = lnz;
@@ -340,6 +367,7 @@ void* jsv_parser_new(
   p->dc_chrom.set(dcc_v, dcc_l, dcc_b);
   p->coeff.set(coef_v, coef_l, coef_b);
   std::memcpy(p->zigzag, zigzag, 64);
+  for (int i = 0; i < 64; ++i) p->zigzag_inv[zigzag[i]] = (uint8_t)i;
   return p;
 }
 
@@ -356,11 +384,21 @@ int64_t jsv_parse_picture_slices(
     int16_t* levels_y, int16_t* levels_cb, int16_t* levels_cr,
     uint8_t* lnz_y, uint8_t* lnz_cb, uint8_t* lnz_cr,
     uint8_t* mb_quant, uint8_t* mb_intra, int16_t* mb_mv,
-    uint8_t* mb_rep_add) {
+    uint8_t* mb_rep_add,
+    // optional (may all be null): per-pixel dequant sideband emission
+    const uint8_t* intra_q, const uint8_t* non_intra_q,
+    int16_t* mult_y, int16_t* mult_cb, int16_t* mult_cr,
+    uint8_t* flags_y, uint8_t* flags_cb, uint8_t* flags_cr) {
   Parser& p = *(Parser*)handle;
   PictureCtx c{mb_w, mb_h, mb_w * 16, picture_type, full_pel, f_code};
   PictureOut o{levels_y, levels_cb, levels_cr, lnz_y, lnz_cb, lnz_cr,
                mb_quant, mb_intra, mb_mv, mb_rep_add};
+  if (mult_y != nullptr && intra_q != nullptr) {
+    o.mult[0] = mult_y; o.mult[1] = mult_cb; o.mult[2] = mult_cr;
+    o.flags[0] = flags_y; o.flags[1] = flags_cb; o.flags[2] = flags_cr;
+    o.intra_q = intra_q;
+    o.non_intra_q = non_intra_q;
+  }
 
   int64_t cursor = (start_bit + 7) >> 3;
   for (;;) {

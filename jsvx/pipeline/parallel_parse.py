@@ -82,7 +82,7 @@ def parse_stream_parallel(data: bytes, n_threads: int | None = None,
         def run(job):
             ft, start_bit, seq = job
             native.parse_picture_slices(arr, start_bit, ft,
-                                        seq.mb_width, seq.mb_height)
+                                        seq.mb_width, seq.mb_height, seq)
 
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             list(pool.map(run, jobs))

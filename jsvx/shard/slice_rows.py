@@ -78,6 +78,7 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
                  init_refs[2].shape[0])
 
     has_mvset = "mv_table" in stacked
+    has_sideband = "mult" in stacked["y"]
 
     def comp_spec():
         d = dict(levels=P(None, axis_name, None),
@@ -88,6 +89,9 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
                  rep_add=P(None, axis_name, None))
         if has_mvset:
             d["mv_idx"] = P(None, axis_name, None)
+        if has_sideband:
+            d["mult"] = P(None, axis_name, None)
+            d["flags"] = P(None, axis_name, None)
         return d
 
     top_spec = dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),
@@ -132,6 +136,7 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
                  init_refs[2].shape[1])
 
     has_mvset = "mv_table" in batch
+    has_sideband = "mult" in batch["y"]
 
     def comp_spec():
         d = dict(levels=P(gop_axis, None, rows_axis, None),
@@ -142,6 +147,9 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
                  rep_add=P(gop_axis, None, rows_axis, None))
         if has_mvset:
             d["mv_idx"] = P(gop_axis, None, rows_axis, None)
+        if has_sideband:
+            d["mult"] = P(gop_axis, None, rows_axis, None)
+            d["flags"] = P(gop_axis, None, rows_axis, None)
         return d
 
     top_spec = dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),

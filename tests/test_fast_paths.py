@@ -106,3 +106,69 @@ def test_pallas_recon_interpret_matches_xla(tiny_clip):
         for pa, pb in zip(a, b):
             assert np.array_equal(np.asarray(pa), np.asarray(pb))
         refs = tuple(np.asarray(p) for p in a)
+
+
+def test_native_sideband_matches_xla_expand(tiny_clip):
+    """C++-emitted mult/flags planes == the XLA expansion."""
+    from jsvx.bitstream.native import get_native_parser
+
+    if get_native_parser() is None:
+        pytest.skip("native parser unavailable")
+    frames = _stream_frames(tiny_clip, gop_size=3, quantizer_scale=4)
+    from jsvx.kernels.pallas_decode import expand_sideband
+
+    n_checked = 0
+    for ft, seq in frames:
+        if ft.mult is None:
+            continue
+        consts = make_constants(seq)
+        d = frame_to_device(ft)
+        for comp, key in enumerate(("y", "cb", "cr")):
+            mult, flags = expand_sideband(d[key], consts, d["is_p"])
+            # XLA expand marks every block by its per-MB intra/lnz values,
+            # including uncoded blocks (lnz=0 -> flags bit1=0 everywhere);
+            # C++ leaves uncoded blocks zero.  Compare where coded.
+            lnz = d[key]["lnz"]
+            coded = np.repeat(np.repeat(np.asarray(lnz) > 0, 8, 0), 8, 1)
+            got_m = np.asarray(d[key]["mult"])
+            got_f = np.asarray(d[key]["flags"])
+            np.testing.assert_array_equal(got_m[coded],
+                                          np.asarray(mult)[coded])
+            np.testing.assert_array_equal(got_f[coded],
+                                          np.asarray(flags)[coded])
+            # uncoded blocks: flags bit1 must be 0 both ways (zero output)
+            assert not np.any(got_f[~coded] & 2)
+            assert not np.any(np.asarray(flags)[~coded] & 2)
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_decode_with_native_sideband_matches_oracle(tiny_clip):
+    """Pallas path consuming parser-emitted sideband == oracle."""
+    from jsvx.bitstream.native import get_native_parser
+
+    if get_native_parser() is None:
+        pytest.skip("native parser unavailable")
+    frames = _stream_frames(tiny_clip, gop_size=3, quantizer_scale=4)
+    consts = None
+    refs = None
+    ref_o = None
+    for ft, seq in frames:
+        if consts is None:
+            consts = make_constants(seq)
+            z = lambda h, w: np.zeros((h, w), np.uint8)
+            refs = (z(seq.coded_height, seq.coded_width),
+                    z(seq.coded_height // 2, seq.coded_width // 2),
+                    z(seq.coded_height // 2, seq.coded_width // 2))
+        assert ft.mult is not None
+        cap = mv_bucket(len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+        d = frame_to_device(ft, mv_capacity=cap)
+        assert "mult" in d["y"]
+        out = decode_frame_planes_pallas(d, refs, consts, interpret=True,
+                                         mc_impl="mvset")
+        oracle = reconstruct_frame(ft, seq, ref_o)
+        for a, b in zip(out, oracle):
+            assert np.abs(np.asarray(a).astype(int)
+                          - b.astype(int)).max() <= 1
+        refs = tuple(np.asarray(p) for p in out)
+        ref_o = oracle
