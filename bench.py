@@ -23,7 +23,6 @@ host parse is benchmarked separately (python -m jsvx.tools.bench_parse).
 
 from __future__ import annotations
 
-import functools
 import json
 import time
 

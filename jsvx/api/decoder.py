@@ -229,8 +229,11 @@ class Decoder(EventDispatcher):
                               jnp.uint8),
                     jnp.zeros((seq.coded_height // 2, seq.coded_width // 2),
                               jnp.uint8))
-            cap = mv_bucket(len(np.unique(
-                ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+            n_mv = len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1
+            # sticky capacity: grow-only bucket avoids a recompile per
+            # frame when distinct-MV counts fluctuate
+            cap = max(getattr(self, "_mv_cap", 0) or 0, mv_bucket(n_mv))
+            self._mv_cap = cap
             planes = decode_frame_jit(
                 frame_to_device(ft, mv_capacity=cap), self._refs,
                 self._consts, self.config.quirk_oddify_zeros,

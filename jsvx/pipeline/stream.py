@@ -86,6 +86,10 @@ class JaxStreamDecoder:
                     ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
             return mv_bucket(n)
 
+        # one capacity bucket for the whole stream keeps shapes stable
+        # (each new bucket costs a fresh compile)
+        stream_cap = capacity_for(fts)
+
         if use_gop_scan:
             # split into GOPs at I pictures, scan each
             gops, cur = [], []
@@ -97,7 +101,7 @@ class JaxStreamDecoder:
             if cur:
                 gops.append(cur)
             for gop in gops:
-                cap = capacity_for(gop)
+                cap = stream_cap
                 stacked = stack_device_frames(
                     [frame_to_device(ft, mv_capacity=cap) for ft in gop])
                 outs, refs = decode_gop_scan(
@@ -108,7 +112,7 @@ class JaxStreamDecoder:
                     frames.append((ys[i], cbs[i], crs[i]))
         else:
             for ft in fts:
-                cap = capacity_for([ft])
+                cap = stream_cap
                 planes = decode_frame_jit(
                     frame_to_device(ft, mv_capacity=cap), refs, consts,
                     self.quirk, mc_impl="mvset" if cap else "gather")

@@ -70,15 +70,17 @@ def transcode(data: bytes, sink=None, *, impl: str | None = None,
         todo = [s.index for s in manifest.pending(process_id, process_count)
                 if s.index < len(groups)]
 
+    # one distinct-MV capacity bucket for the whole stream: stable
+    # shapes -> one compiled executable for every GOP
+    cap = 1
+    for ft in parsed.frames:
+        cap = max(cap, len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+    cap = mv_bucket(cap)
+
     n_frames = 0
     for gi in todo:
         group = groups[gi]
         with metrics.timers.stage("pack"):
-            cap = 1
-            for ft in group:
-                cap = max(cap, len(np.unique(
-                    ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
-            cap = mv_bucket(cap)
             stacked = jax.tree.map(
                 lambda *xs: np.stack(xs),
                 *[frame_to_device(ft, mv_capacity=cap) for ft in group])

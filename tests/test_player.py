@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from jsvx.api import Decoder, MediaError, Player, PlayerConfig, ReadyState
-from jsvx.api.player import NetworkState, TimeRanges
+from jsvx.api.player import TimeRanges
 from jsvx.coding import tables as T
 from jsvx.runtime.source import MemorySource
 from jsvx.tools.encoder import EncoderConfig, JsvEncoder
