@@ -32,12 +32,32 @@ from ..tools import refmath
 
 @dataclass(frozen=True)
 class DecodeConstants:
-    """Per-sequence constants living on device."""
+    """Per-sequence constants.
+
+    Quant matrices are *static* (pytree aux data, hashed into the jit
+    cache key), so under trace they are compile-time constants usable
+    for host-side table construction; only the IDCT basis is a device
+    array leaf.
+    """
 
     c_basis: jax.Array       # f32[8, 8] IDCT basis (spatial = C @ F @ C.T)
-    intra_q: jax.Array       # i32[8, 8]
-    non_intra_q: jax.Array   # i32[8, 8]
-    scan_pos: jax.Array      # i32[8, 8] zig-zag scan index of each position
+    intra_q_key: tuple       # 64 ints, spatial order
+    non_intra_q_key: tuple
+
+    @property
+    def intra_q(self) -> jax.Array:
+        return jnp.asarray(np.array(self.intra_q_key, np.int32)
+                           .reshape(8, 8))
+
+    @property
+    def non_intra_q(self) -> jax.Array:
+        return jnp.asarray(np.array(self.non_intra_q_key, np.int32)
+                           .reshape(8, 8))
+
+    @property
+    def scan_pos(self) -> jax.Array:
+        return jnp.asarray(T.ZIG_ZAG_INVERSE.reshape(8, 8)
+                           .astype(np.int32))
 
 
 def make_constants(seq=None) -> DecodeConstants:
@@ -47,17 +67,16 @@ def make_constants(seq=None) -> DecodeConstants:
                    else T.DEFAULT_NON_INTRA_QUANT_MATRIX)
     return DecodeConstants(
         c_basis=jnp.asarray(refmath.C_BASIS, dtype=jnp.float32),
-        intra_q=jnp.asarray(intra_q.reshape(8, 8), dtype=jnp.int32),
-        non_intra_q=jnp.asarray(non_intra_q.reshape(8, 8), dtype=jnp.int32),
-        scan_pos=jnp.asarray(T.ZIG_ZAG_INVERSE.reshape(8, 8),
-                             dtype=jnp.int32),
+        intra_q_key=tuple(int(x) for x in np.asarray(intra_q).reshape(-1)),
+        non_intra_q_key=tuple(int(x)
+                              for x in np.asarray(non_intra_q).reshape(-1)),
     )
 
 
 jax.tree_util.register_pytree_node(
     DecodeConstants,
-    lambda c: ((c.c_basis, c.intra_q, c.non_intra_q, c.scan_pos), None),
-    lambda _, xs: DecodeConstants(*xs),
+    lambda c: ((c.c_basis,), (c.intra_q_key, c.non_intra_q_key)),
+    lambda aux, xs: DecodeConstants(xs[0], aux[0], aux[1]),
 )
 
 

@@ -135,21 +135,21 @@ def fused_recon_plane(levels: jax.Array, mult: jax.Array, flags: jax.Array,
 # Sideband expansion (fused XLA prologue)
 
 
-@functools.lru_cache(maxsize=16)
 def _static_tiles(h: int, w: int, intra_q_key, non_intra_q_key):
-    """Per-shape static (h, w) tiles of the 8x8 constants (cached)."""
-    mi = np.tile(np.asarray(intra_q_key, np.int32).reshape(8, 8),
-                 (h // 8, w // 8))
-    mn = np.tile(np.asarray(non_intra_q_key, np.int32).reshape(8, 8),
-                 (h // 8, w // 8))
+    """(h, w) tiles of the 8x8 constants, tiled at runtime from small
+    embedded constants (embedding full-plane constants bloats compiles)."""
     from ..coding import tables as T
 
-    scan = np.tile(T.ZIG_ZAG_INVERSE.reshape(8, 8).astype(np.int32),
-                   (h // 8, w // 8))
-    dc = np.zeros((8, 8), np.int32)
-    dc[0, 0] = 1
-    dc = np.tile(dc, (h // 8, w // 8))
-    # plain numpy: under jit these become hoisted compile-time constants
+    reps = (h // 8, w // 8)
+    mi = jnp.tile(jnp.asarray(np.array(intra_q_key, np.int32)
+                              .reshape(8, 8)), reps)
+    mn = jnp.tile(jnp.asarray(np.array(non_intra_q_key, np.int32)
+                              .reshape(8, 8)), reps)
+    scan = jnp.tile(jnp.asarray(T.ZIG_ZAG_INVERSE.reshape(8, 8)
+                                .astype(np.int32)), reps)
+    dc8 = np.zeros((8, 8), np.int32)
+    dc8[0, 0] = 1
+    dc = jnp.tile(jnp.asarray(dc8), reps)
     return mi, mn, scan, dc
 
 
@@ -173,8 +173,7 @@ def expand_sideband(comp_inputs: dict, consts: DecodeConstants,
             a[:, None, :, None], (hb, 8, wb, 8)).reshape(h, w)
 
     mi_t, mn_t, scan_t, dc_t = _static_tiles(
-        h, w, tuple(np.asarray(consts.intra_q).reshape(-1).tolist()),
-        tuple(np.asarray(consts.non_intra_q).reshape(-1).tolist()))
+        h, w, consts.intra_q_key, consts.non_intra_q_key)
 
     q_px = up(q)
     intra_px = up(intra_blk)
