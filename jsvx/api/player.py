@@ -147,6 +147,13 @@ class Player(EventDispatcher):
         self._thread_stop = threading.Event()
         self._frame_sink = None
 
+        from ..runtime.profiler import FpsMeter, Metrics
+
+        self.metrics = Metrics()
+        self._fps = FpsMeter()
+        self._decode_thread = None
+        self._decode_stop = threading.Event()
+
     # ------------------------------------------------------------------
     # Source handling
 
@@ -516,8 +523,15 @@ class Player(EventDispatcher):
             self._frame_sink(frame, t_ms / 1000.0)
         self.emit("frameout", frame, t_ms / 1000.0)
         self.emit("timeupdate")
-        self._fill_queue()
+        self.metrics.count("frames_displayed")
+        self._fps.tick()
+        if self._decode_thread is None:
+            self._fill_queue()
         return True
+
+    @property
+    def display_fps(self) -> float:
+        return self._fps.fps
 
     def set_frame_sink(self, fn) -> None:
         """fn(DecodedFrame, t_seconds) — the render target."""
@@ -525,6 +539,7 @@ class Player(EventDispatcher):
 
     def _underrun(self) -> None:
         self._waiting_count += 1
+        self.metrics.count("underruns")
         self.ready_state = ReadyState.HAVE_METADATA
         self.emit("waiting")
         if self._stalled_byte is not None:
@@ -632,6 +647,40 @@ class Player(EventDispatcher):
             self.audio.play()
 
     # ------------------------------------------------------------------
+    # Background decode (the reference's front/back worker split,
+    # easybits.player.js:216-217 — designed but disabled there; here the
+    # decode back-end genuinely runs off the render clock's thread)
+
+    def start_background_decode(self, poll_s: float = 0.002) -> None:
+        """Run the decode back-end (fill of the decode-ahead queue) on
+        its own thread; ``tick`` then only displays."""
+        if self._decode_thread is not None:
+            return
+        self._decode_stop.clear()
+
+        def loop():
+            while not self._decode_stop.is_set():
+                with self._lock:
+                    full = (self.decoder is None or self._seeking
+                            or len(self._frames)
+                            >= self.config.max_decoded_frames
+                            or (self.decoder is not None
+                                and self.decoder.ended))
+                    if not full:
+                        self._fill_queue()
+                _time.sleep(poll_s)
+
+        self._decode_thread = threading.Thread(target=loop, daemon=True)
+        self._decode_thread.start()
+
+    def stop_background_decode(self) -> None:
+        if self._decode_thread is None:
+            return
+        self._decode_stop.set()
+        self._decode_thread.join(timeout=5.0)
+        self._decode_thread = None
+
+    # ------------------------------------------------------------------
     # Real-time driver
 
     def run_realtime(self, max_seconds: float | None = None) -> None:
@@ -658,6 +707,7 @@ class Player(EventDispatcher):
 
     def destroy(self) -> None:
         self.stop_realtime()
+        self.stop_background_decode()
         self._cancel_request()
         self.decoder = None
         self._frames.clear()

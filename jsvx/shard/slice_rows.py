@@ -29,43 +29,79 @@ def exchange_row_halo(local: jax.Array, halo: int,
                       axis_name: str) -> jax.Array:
     """Extend a local row shard with ``halo`` rows from each neighbour.
 
-    Devices at the global edges receive zero rows there; they are never
-    read because edge clamping in :func:`predict_plane` keeps global row
-    indices inside [0, H).
+    Devices at the global edges edge-replicate their own boundary row
+    into the halo, so the extended shard reproduces CLAMP_TO_EDGE
+    locally (required by the mvset prediction path; the gather path
+    clamps in global coordinates and never reads those rows).
     """
     n = jax.lax.axis_size(axis_name)
-    if halo == 0 or n == 1:
-        return jnp.pad(local, ((halo, halo), (0, 0)))
-    down = [(i, i + 1) for i in range(n - 1)]     # my bottom rows -> below's top halo... see below
+    if halo == 0:
+        return local
+    w = local.shape[1]
+    top_rep = jnp.broadcast_to(local[0:1], (halo, w))
+    bot_rep = jnp.broadcast_to(local[-1:], (halo, w))
+    if n == 1:
+        return jnp.concatenate([top_rep, local, bot_rep], axis=0)
+    idx = jax.lax.axis_index(axis_name)
+    down = [(i, i + 1) for i in range(n - 1)]
     up = [(i + 1, i) for i in range(n - 1)]
     # rows just above my shard live on device i-1 (its bottom halo rows)
     from_above = jax.lax.ppermute(local[-halo:], axis_name, down)
     # rows just below my shard live on device i+1 (its top halo rows)
     from_below = jax.lax.ppermute(local[:halo], axis_name, up)
-    return jnp.concatenate([from_above, local, from_below], axis=0)
+    top = jnp.where(idx == 0, top_rep, from_above)
+    bot = jnp.where(idx == n - 1, bot_rep, from_below)
+    return jnp.concatenate([top, local, bot], axis=0)
 
 
 def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
-                        quirk):
-    """Per-device body: decode one frame's local row shard of all planes."""
+                        quirk, mc_impl: str = "gather"):
+    """Per-device body: decode one frame's local row shard of all planes.
+
+    ``mc_impl="mvset"`` uses the fast distinct-MV prediction on the
+    halo-extended local shard (requires the frame's ``mv_table``/
+    ``mv_idx`` and halo_y a multiple of 16); ``"gather"`` is the exact
+    per-pixel path with global-coordinate clamping.
+    """
     idx = jax.lax.axis_index(axis_name)
     outs = []
+    use_mvset = mc_impl == "mvset" and "mv_table" in frame
     for comp, key in enumerate(("y", "cb", "cr")):
         halo = halo_y if comp == 0 else halo_y // 2
         local_ref = refs[comp]
         h_local = local_ref.shape[0]
         ext = exchange_row_halo(local_ref, halo, axis_name)
-        row0 = idx * h_local
-        outs.append(decode_frame_plane(
-            frame[key], ext, frame["is_p"], consts, comp != 0, quirk,
-            halo=halo, row0=row0, h_global=h_globals[comp]))
+        if use_mvset:
+            from ..kernels.decode import (dequant_plane, idct_plane,
+                                          predict_plane_mvset)
+
+            ci = frame[key]
+            hb_halo = halo // 8
+            pad_blk = ((hb_halo, hb_halo), (0, 0))
+            idx_ext = jnp.pad(ci["mv_idx"], pad_blk, mode="edge")
+            rep_ext = jnp.pad(ci["rep_add"], pad_blk, mode="edge")
+            pred = predict_plane_mvset(
+                ext, frame["mv_table"], idx_ext, rep_ext, comp != 0,
+                pad=max(halo, 8))[halo:halo + h_local]
+            pred = pred * frame["is_p"].astype(jnp.int32)
+            d = dequant_plane(ci["levels"], ci["q"], ci["intra"],
+                              ci["lnz"], consts, quirk)
+            res = idct_plane(d, consts)
+            out = jnp.round(pred.astype(jnp.float32) + res)
+            outs.append(jnp.clip(out, 0.0, 255.0).astype(jnp.uint8))
+        else:
+            row0 = idx * h_local
+            outs.append(decode_frame_plane(
+                frame[key], ext, frame["is_p"], consts, comp != 0, quirk,
+                halo=halo, row0=row0, h_global=h_globals[comp]))
     return tuple(outs)
 
 
 def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
                             consts: DecodeConstants, mesh: Mesh,
                             axis_name: str = "rows", halo_y: int = 64,
-                            quirk_oddify_zeros: bool = False):
+                            quirk_oddify_zeros: bool = False,
+                            mc_impl: str = "gather"):
     """Decode a stacked GOP with every plane row-sharded over ``axis_name``.
 
     ``stacked`` as produced by :func:`jsvx.pipeline.gop.stack_device_frames`
@@ -110,7 +146,7 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
         def step(refs, frame):
             planes = _decode_frame_local(frame, refs, consts, halo_y,
                                          axis_name, h_globals,
-                                         quirk_oddify_zeros)
+                                         quirk_oddify_zeros, mc_impl)
             return planes, planes
 
         final, outs = jax.lax.scan(step, refs_local, stacked_local)
@@ -123,7 +159,8 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
                            consts: DecodeConstants, mesh: Mesh,
                            gop_axis: str = "gop", rows_axis: str = "rows",
                            halo_y: int = 64,
-                           quirk_oddify_zeros: bool = False):
+                           quirk_oddify_zeros: bool = False,
+                           mc_impl: str = "gather"):
     """The full two-axis step: GOP batch data-parallel over ``gop_axis``
     (DP) x slice-rows over ``rows_axis`` (SP) with per-frame halo exchange.
 
@@ -169,7 +206,7 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
             def step(refs, frame):
                 planes = _decode_frame_local(frame, refs, consts, halo_y,
                                              rows_axis, h_globals,
-                                             quirk_oddify_zeros)
+                                             quirk_oddify_zeros, mc_impl)
                 return planes, planes
 
             final, outs = jax.lax.scan(step, refs0, stacked_local)

@@ -241,3 +241,28 @@ def test_player_chunked_loading_stall_refill(stream):
         if p.ended:
             break
     assert len(shown) == len(clip)
+
+
+def test_player_background_decode_thread(stream):
+    """The front/back split the reference designed but disabled
+    (worker bridge, easybits.player.js:216) — decode off the clock."""
+    import time as _time
+
+    data, clip = stream
+    p = _make_player(data)
+    p.start_background_decode(poll_s=0.001)
+    try:
+        shown = []
+        p.set_frame_sink(lambda f, t: shown.append(t))
+        p.play()
+        t = 0.0
+        deadline = _time.time() + 5.0
+        while not p.ended and _time.time() < deadline:
+            t += 1 / 30.0
+            p.tick(t)
+            _time.sleep(0.002)
+        assert len(shown) == len(clip)
+        assert p.metrics.counters["frames_displayed"] == len(clip)
+        assert p.display_fps > 0
+    finally:
+        p.stop_background_decode()

@@ -151,3 +151,25 @@ def test_two_axis_mesh_gop_and_rows(tall_stream):
     for got, want in zip(outs, singles):
         for a, b in zip(want, got):
             assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_slice_row_sharded_mvset_mc(tall_stream):
+    """Fast mvset MC on halo-extended shards == single-device decode."""
+    from jsvx.kernels.decode import mv_bucket
+
+    data, _ = tall_stream
+    fts, seq = _parse_stream(data)
+    consts = make_constants(seq)
+    cap = 1
+    for ft in fts[:3]:
+        cap = max(cap, len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+    cap = mv_bucket(cap)
+    stacked = stack_device_frames(
+        [frame_to_device(ft, mv_capacity=cap) for ft in fts[:3]])
+    refs0 = zero_refs(seq.coded_height, seq.coded_width)
+    single, _ = decode_gop_scan(stacked, refs0, consts, mc_impl="mvset")
+    mesh = build_mesh({"rows": 4})
+    sharded, _ = decode_gop_rows_sharded(
+        stacked, refs0, consts, mesh, halo_y=32, mc_impl="mvset")
+    for a, b in zip(single, sharded):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
