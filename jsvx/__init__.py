@@ -24,3 +24,24 @@ TPU kernels over batched macroblock planes.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax at package import)."""
+    if name in ("Player", "Decoder", "PlayerConfig", "MediaError"):
+        from . import api
+
+        return getattr(api, name)
+    if name == "JaxStreamDecoder":
+        from .pipeline.stream import JaxStreamDecoder
+
+        return JaxStreamDecoder
+    if name == "transcode":
+        from .pipeline.transcode import transcode
+
+        return transcode
+    if name in ("encode_frames", "decode_stream_oracle"):
+        from . import tools
+
+        return getattr(tools, name)
+    raise AttributeError(f"module 'jsvx' has no attribute {name!r}")

@@ -21,6 +21,9 @@ class PlayerConfig:
     sync_interval_ms: int = 1000       # A/V sync check period
     av_sync_limit_ms: int = 300        # max tolerated A/V drift
     audio_shift_sec: float = 0.0
+    # regex -> replacement mapping from a video src to its companion
+    # audio src (the reference's audioMap, easybits.player.js:1205)
+    audio_map: list = field(default_factory=list)
     skip_hard: bool = False            # drop late frames aggressively
     seconds_played_limit: float = 30.0  # backward-buffer seconds kept
     max_decoded_frames: int = 10       # decode-ahead queue cap

@@ -234,10 +234,21 @@ class Decoder(EventDispatcher):
             # frame when distinct-MV counts fluctuate
             cap = max(getattr(self, "_mv_cap", 0) or 0, mv_bucket(n_mv))
             self._mv_cap = cap
-            planes = decode_frame_jit(
-                frame_to_device(ft, mv_capacity=cap), self._refs,
-                self._consts, self.config.quirk_oddify_zeros,
-                mc_impl="mvset" if cap else "gather")
+            if self._decode_backend is None:
+                self._decode_backend = (
+                    "pallas" if jax.devices()[0].platform != "cpu"
+                    else "xla")
+            if self._decode_backend == "pallas" and cap:
+                from ..kernels.pallas_decode import _decode_frame_pallas_jit
+
+                planes = _decode_frame_pallas_jit(
+                    frame_to_device(ft, mv_capacity=cap), self._refs,
+                    self._consts, self.config.quirk_oddify_zeros)
+            else:
+                planes = decode_frame_jit(
+                    frame_to_device(ft, mv_capacity=cap), self._refs,
+                    self._consts, self.config.quirk_oddify_zeros,
+                    mc_impl="mvset" if cap else "gather")
             self._refs = planes
         return DecodedFrame(planes=planes, picture_type=ft.picture_type,
                             ts_ms=ts)

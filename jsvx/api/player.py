@@ -184,6 +184,20 @@ class Player(EventDispatcher):
 
     canPlayType = can_play_type
 
+    @property
+    def audio_src(self) -> str:
+        """Companion-audio source resolved through config.audio_map
+        (the reference's audioMap regex mapping)."""
+        import re
+
+        src = self.src
+        if not isinstance(src, str):
+            return ""
+        for pattern, replacement in self.config.audio_map:
+            if re.search(pattern, src):
+                return re.sub(pattern, replacement, src)
+        return ""
+
     def load(self) -> None:
         if not self._sources:
             self.network_state = NetworkState.NETWORK_NO_SOURCE

@@ -239,3 +239,11 @@ def decode_frame_planes_pallas(frame: dict, refs: tuple,
                                   mv_table=mv_table, mv_pad=mv_pad,
                                   mc_impl=mc_impl_eff)
         for i, k in enumerate(("y", "cb", "cr")))
+
+
+@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))
+def _decode_frame_pallas_jit(frame: dict, refs: tuple,
+                             consts: DecodeConstants,
+                             quirk_oddify_zeros: bool = False) -> tuple:
+    return decode_frame_planes_pallas(frame, refs, consts,
+                                      quirk_oddify_zeros)

@@ -65,7 +65,19 @@ def bench(data: bytes, use_native: bool, reps: int = 1) -> dict:
                 pictures_per_s=n_pics / dt)
 
 
+def bench_parallel(data: bytes, n_threads=None, reps: int = 3) -> float:
+    from ..pipeline.parallel_parse import parse_stream_parallel
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        parsed = parse_stream_parallel(data, n_threads=n_threads)
+    dt = (time.perf_counter() - t0) / reps
+    return len(parsed.frames) / dt
+
+
 def main():
+    import os
+
     data = make_stream()
     print(f"stream: {len(data)} bytes")
     res_native = bench(data, use_native=True, reps=5)
@@ -75,6 +87,8 @@ def main():
         "python_mb_per_s": round(res_py["mb_per_s"]),
         "native_mb_per_s": round(res_native["mb_per_s"]),
         "native_pictures_per_s": round(res_native["pictures_per_s"], 1),
+        "parallel_pictures_per_s": round(bench_parallel(data), 1),
+        "host_cores": os.cpu_count(),
         "speedup": round(speedup, 1),
     }))
 

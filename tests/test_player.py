@@ -266,3 +266,24 @@ def test_player_background_decode_thread(stream):
         assert p.display_fps > 0
     finally:
         p.stop_background_decode()
+
+
+def test_audio_map_resolution(stream):
+    data, _ = stream
+    p = Player(PlayerConfig(audio_map=[(r"\.jsv$", ".mp3")]),
+               backend="oracle")
+    p._sources = [type("V", (), {"src": "http://x/clip.jsv",
+                                 "bitrate": 0})()]
+    assert p.audio_src == "http://x/clip.mp3"
+    p._sources = [type("V", (), {"src": data, "bitrate": 0})()]
+    assert p.audio_src == ""
+
+
+def test_top_level_exports():
+    import jsvx
+
+    assert jsvx.Player is not None
+    assert jsvx.PlayerConfig is not None
+    assert callable(jsvx.encode_frames)
+    with pytest.raises(AttributeError):
+        jsvx.nonexistent
