@@ -263,10 +263,11 @@ class Decoder(EventDispatcher):
         meta = self.meta
         if meta is None:
             return False
-        if meta.key_map is not None and self.parser.seq is not None:
+        if meta.key_map is not None and meta.key_map.count > 0:
+            rate = (self.parser.seq.picture_rate
+                    if self.parser.seq is not None else 30.0)
             byte = meta.key_map.byte_for_time(
-                target_ms / 1000.0, meta.duration,
-                self.parser.seq.picture_rate)
+                target_ms / 1000.0, meta.duration, rate)
         else:
             total = self.buffer.total_length or 1
             byte = int(round(total * (target_ms / 1000.0)

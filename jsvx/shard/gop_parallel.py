@@ -39,7 +39,6 @@ def decode_gops_parallel(batch: dict, coded_h: int, coded_w: int,
     stacked planes ``(n_gops, n_frames, H, W)`` sharded the same way.
     """
     n_gops = batch["is_p"].shape[0]
-    sharding = NamedSharding(mesh, P(axis_name))
     batch = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(
             mesh, P(*([axis_name] + [None] * (x.ndim - 1))))), batch)

@@ -154,3 +154,32 @@ def test_no_skip_config(tiny_clip):
     data, _ = _encode(tiny_clip, gop_size=3, use_skips=False)
     frames = decode_stream_oracle(data)
     assert len(frames) == len(tiny_clip)
+
+
+def test_b_picture_skipped():
+    """Pictures with type B/D are skipped like the reference
+    (decoders/jsv.js:613) — and unlike it, without livelocking."""
+    from jsvx.bitstream.bitio import BitWriter
+    from jsvx.coding import tables as TT
+
+    clip = [(np.full((48, 64), 100, np.uint8),
+             np.full((24, 32), 128, np.uint8),
+             np.full((24, 32), 128, np.uint8))] * 2
+    data = bytearray(JsvEncoder(64, 48, EncoderConfig(
+        gop_size=2)).encode(clip))
+    # splice a bogus B picture between the two coded pictures
+    w = BitWriter()
+    w.put_start_code(TT.START_PICTURE)
+    w.put_bits(1, 10)          # temporal ref
+    w.put_bits(TT.PICTURE_TYPE_B, 3)
+    w.put_bits(0xFFFF, 16)
+    w.byte_align()
+    from jsvx.bitstream.bitio import BitReader
+    header_end = parse_container_header(BitReader(bytes(data))).header_bytes
+    idx = StartCodeIndex.scan(bytes(data))
+    pics = [int(o) for o, c in idx.entries
+            if c == TT.START_PICTURE and o >= header_end]
+    assert len(pics) == 2
+    spliced = bytes(data[:pics[1]]) + w.getvalue() + bytes(data[pics[1]:])
+    frames = decode_stream_oracle(spliced)
+    assert len(frames) == 2                # B picture ignored

@@ -287,3 +287,22 @@ def test_top_level_exports():
     assert callable(jsvx.encode_frames)
     with pytest.raises(AttributeError):
         jsvx.nonexistent
+
+
+def test_player_pending_seek_while_streaming(stream):
+    """Seek beyond buffered data defers until the bytes arrive
+    (the reference's re-seek-on-chunk path, easybits.player.js:2139)."""
+    data, _ = stream
+    p = Player(PlayerConfig(), backend="oracle")
+    seeked = []
+    p.on("seeked", lambda: seeked.append(1))
+    # manual drip-feed: install decoder without a source
+    p._sources = [type("V", (), {"src": data, "bitrate": 0})()]
+    p._reset_for_source()
+    p.decoder.feed(0, data[:600], len(data))
+    p.current_time = 0.3                   # target GOP not yet buffered
+    assert p.seeking and not seeked
+    # feed the rest: pending seek should resolve
+    p._on_chunk(600, data[600:], len(data))
+    assert seeked and not p.seeking
+    assert 0.3 - p.current_time <= 0.151
