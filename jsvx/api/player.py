@@ -130,6 +130,7 @@ class Player(EventDispatcher):
         self._seeking = False
         self._pending_seek_ms: float | None = None
         self._muted = self.config.muted
+        self.default_muted = self.config.muted
         self._volume = 1.0
         self._playback_rate = 1.0
         self._default_playback_rate = 1.0

@@ -198,8 +198,6 @@ def test_player_abr_downswitch(stream):
     waits = []
     p.on("waiting", lambda: waits.append(1))
     for _ in range(3):
-        t += 1 / 30.0
-        p._display_one_frame() if False else None
         p._underrun()
     assert switches == [400.0]
 
