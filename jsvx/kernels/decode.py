@@ -128,6 +128,7 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
                 f"{len(uniq)} distinct MVs exceed capacity {mv_capacity}")
         mv_table = np.zeros((mv_capacity, 2), np.int32)
         mv_table[:len(uniq)] = uniq
+        mv_count = np.int32(len(uniq))
         mv_idx = inv.reshape(ft.mb_mv.shape[:2]).astype(np.int32)
 
     comps = []
@@ -152,6 +153,7 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
     )
     if mv_capacity:
         out["mv_table"] = mv_table
+        out["mv_count"] = mv_count
     return out
 
 

@@ -192,7 +192,9 @@ def decode_frame_plane_pallas(comp_inputs: dict, ref: jax.Array,
                               interpret: bool = False,
                               mv_table: jax.Array | None = None,
                               mv_pad: int = 72,
-                              mc_impl: str = "pallas") -> jax.Array:
+                              mc_impl: str = "pallas",
+                              mv_count: jax.Array | None = None
+                              ) -> jax.Array:
     """Drop-in Pallas variant of :func:`jsvx.kernels.decode.decode_frame_plane`."""
     if "mult" in comp_inputs:
         # parser-emitted per-pixel sideband: no device expansion needed
@@ -204,7 +206,7 @@ def decode_frame_plane_pallas(comp_inputs: dict, ref: jax.Array,
 
         pred = predict_plane_mvset_pallas(
             ref, mv_table, comp_inputs["mv_idx"], comp_inputs["rep_add"],
-            is_chroma, pad=mv_pad, interpret=interpret)
+            is_chroma, pad=mv_pad, interpret=interpret, n_valid=mv_count)
     elif mc_impl == "mvset" and mv_table is not None:
         from .decode import predict_plane_mvset
 
@@ -237,7 +239,8 @@ def decode_frame_planes_pallas(frame: dict, refs: tuple,
         decode_frame_plane_pallas(frame[k], refs[i], is_p, consts, i != 0,
                                   quirk_oddify_zeros, interpret,
                                   mv_table=mv_table, mv_pad=mv_pad,
-                                  mc_impl=mc_impl_eff)
+                                  mc_impl=mc_impl_eff,
+                                  mv_count=frame.get("mv_count"))
         for i, k in enumerate(("y", "cb", "cr")))
 
 

@@ -33,16 +33,20 @@ def _mv_parts(mv_ref, k, is_chroma):
 
 
 def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
-               ref_hbm, idx_ref, rep_ref, out_ref, win_ref, sems):
+               ref_hbm, idx_ref, rep_ref, out_ref, win_ref, pred_ref,
+               sems):
     """Per k: DMA a tile-ALIGNED window around the (fy_k, fx_k) shift
     (Mosaic requires provably (8,128)-aligned slice starts), then undo
     the sub-tile remainder with dynamic rolls.  Windows are
-    double-buffered so DMA k+1 overlaps compute k."""
+    double-buffered so DMA k+1 overlaps compute k; entries past the
+    frame's actual distinct-MV count (``mv_ref[2*k_cap]``) are skipped.
+    """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
     h_win = win_ref.shape[1]
+    n_valid = mv_ref[2 * k_cap]
 
     def aligned_parts(k):
         fy, _, fx, _ = _mv_parts(mv_ref, k, is_chroma)
@@ -58,31 +62,36 @@ def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
             ref_hbm.at[pl.ds(row0, h_win), pl.ds(col0, w_win)],
             win_ref.at[slot], sems.at[slot])
 
-    start_dma(0, 0).start()
-    pred = jnp.zeros((th, w), jnp.int16)
+    start_dma(0, 0).start()         # row 0 is always (0, 0): n_valid >= 1
+    pred_ref[:] = jnp.zeros((th, w), jnp.int16)
     idx = idx_ref[:].astype(jnp.int32)
 
     for k in range(k_cap):
         slot = k % 2
         if k + 1 < k_cap:
-            start_dma(k + 1, 1 - slot).start()
-        start_dma(k, slot).wait()
-        _, _, ry, rx = aligned_parts(k)
-        # dynamic rotate needs 32-bit lanes
-        win = win_ref[slot][:].astype(jnp.int32)
-        win = pltpu.roll(win, (h_win - ry) % h_win, 0)
-        win = pltpu.roll(win, (w_win - rx) % w_win, 1)
-        _, oy, _, ox = _mv_parts(mv_ref, k, is_chroma)
-        a = win[0:th, 0:w]
-        b = win[0:th, 1:w + 1]
-        c = win[1:th + 1, 0:w]
-        d = win[1:th + 1, 1:w + 1]
-        bias = (ox + oy + ox * oy + 1) >> 1
-        interp = ((a + ox * b + oy * c + (ox * oy) * d + bias)
-                  >> (ox + oy)).astype(jnp.int16)
-        pred = jnp.where(idx == k, interp, pred)
+            @pl.when(k + 1 < n_valid)
+            def _(k=k, slot=slot):
+                start_dma(k + 1, 1 - slot).start()
+
+        @pl.when(k < n_valid)
+        def _(k=k, slot=slot):
+            start_dma(k, slot).wait()
+            _, _, ry, rx = aligned_parts(k)
+            # dynamic rotate needs 32-bit lanes
+            win = win_ref[slot][:].astype(jnp.int32)
+            win = pltpu.roll(win, (h_win - ry) % h_win, 0)
+            win = pltpu.roll(win, (w_win - rx) % w_win, 1)
+            _, oy, _, ox = _mv_parts(mv_ref, k, is_chroma)
+            a = win[0:th, 0:w]
+            b = win[0:th, 1:w + 1]
+            c = win[1:th + 1, 0:w]
+            d = win[1:th + 1, 1:w + 1]
+            bias = (ox + oy + ox * oy + 1) >> 1
+            interp = ((a + ox * b + oy * c + (ox * oy) * d + bias)
+                      >> (ox + oy)).astype(jnp.int16)
+            pred_ref[:] = jnp.where(idx == k, interp, pred_ref[:])
     rep = rep_ref[:].astype(jnp.int32)   # i16 compare unsupported
-    out_ref[:] = jnp.where(rep > 0, jnp.int16(0), pred)
+    out_ref[:] = jnp.where(rep > 0, jnp.int16(0), pred_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("is_chroma", "pad", "th",
@@ -91,8 +100,14 @@ def predict_plane_mvset_pallas(ref: jax.Array, mv_table: jax.Array,
                                mv_idx_blk: jax.Array,
                                rep_add_blk: jax.Array, is_chroma: bool,
                                pad: int = 72, th: int | None = None,
-                               interpret: bool = False) -> jax.Array:
-    """Drop-in fast variant of ``predict_plane_mvset`` (same semantics)."""
+                               interpret: bool = False,
+                               n_valid: jax.Array | None = None
+                               ) -> jax.Array:
+    """Drop-in fast variant of ``predict_plane_mvset`` (same semantics).
+
+    ``n_valid`` (scalar) bounds the populated rows of ``mv_table``;
+    padded entries are skipped entirely.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -126,6 +141,11 @@ def predict_plane_mvset_pallas(ref: jax.Array, mv_table: jax.Array,
         .astype(jnp.int16)
 
     grid = (h // th,)
+    if n_valid is None:
+        n_valid = jnp.int32(k_cap)
+    mv_scalars = jnp.concatenate(
+        [jnp.asarray(mv_table).reshape(-1).astype(jnp.int32),
+         jnp.asarray(n_valid, jnp.int32).reshape(1)])
 
     out = pl.pallas_call(
         functools.partial(_mc_kernel, k_cap, pad_y, pad_x, th, w, w_win,
@@ -146,9 +166,10 @@ def predict_plane_mvset_pallas(ref: jax.Array, mv_table: jax.Array,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, h_win, w_win), jnp.uint8),
+                pltpu.VMEM((th, w), jnp.int16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         interpret=interpret,
-    )(mv_table.reshape(-1), refp, idx_px, rep_px)
+    )(mv_scalars, refp, idx_px, rep_px)
     return out.astype(jnp.int32)

@@ -134,6 +134,8 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
                     is_p=P(None))
     if has_mvset:
         top_spec["mv_table"] = P(None, None, None)   # replicated
+        if "mv_count" in stacked:
+            top_spec["mv_count"] = P(None)
     in_specs = (top_spec,
                 (P(axis_name, None), P(axis_name, None), P(axis_name, None)))
     out_specs = ((P(None, axis_name, None),) * 3,
@@ -193,6 +195,8 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
                     is_p=P(gop_axis, None))
     if has_mvset:
         top_spec["mv_table"] = P(gop_axis, None, None, None)
+        if "mv_count" in batch:
+            top_spec["mv_count"] = P(gop_axis, None)
     in_specs = (top_spec,
                 (P(gop_axis, rows_axis, None),) * 3)
     out_specs = ((P(gop_axis, None, rows_axis, None),) * 3,
