@@ -49,7 +49,7 @@ def test_two_process_gop_distribution(tmp_path):
     worker_py = str(tmp_path / "worker.py")
     open(worker_py, "w").write(WORKER)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
     procs = []
     for pid in range(2):
         journal = str(tmp_path / f"journal_{pid}.jsonl")
