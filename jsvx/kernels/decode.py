@@ -84,8 +84,13 @@ jax.tree_util.register_pytree_node(
 # Host -> device packing
 
 def mv_bucket(n: int) -> int:
-    """Static distinct-MV capacity buckets (limits recompilation)."""
-    for k in (8, 16, 32, 64, 128, 256):
+    """Static distinct-MV capacity buckets (limits recompilation).
+
+    Top bucket is 255, not 256: the fused kernel's per-pixel ``sel``
+    plane is uint8 with 255 reserved for intra-in-P blocks
+    (``SEL_INTRA``), so a valid MV index never collides with it.
+    """
+    for k in (8, 16, 32, 64, 128, 255):
         if n <= k:
             return k
     return 0                               # too many: gather fallback

@@ -48,9 +48,9 @@ SEL_INTRA = 255
 
 
 def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
-                  mv_ref, ref_hbm, lv_ref, qf_ref, sel_ref, mi_ref, mn_ref,
-                  bd_col_ref, *rest):
-    bd_rows = rest[:-4]
+                  chunk_map, mv_ref, ref_hbm, lv_ref, qf_ref, sel_ref,
+                  mi_ref, mn_ref, bd_col_ref, *rest):
+    bd_rows = rest[:-4]                    # one block per DISTINCT width
     out_ref, win_ref, pred_ref, sems = rest[-4:]
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -129,16 +129,14 @@ def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
     # ---- 2-D IDCT: column pass full-width, row pass per 128-col chunk ---
     f = d.astype(jnp.float32)
     cols = jnp.dot(bd_col_ref[:], f, preferred_element_type=jnp.float32)
-    off = 0
-    for bd_row_ref in bd_rows:
-        cw = bd_row_ref.shape[0]
+    for off, cw, bi in chunk_map:
+        bd_row_ref = bd_rows[bi]
         rows = jnp.dot(cols[:, off:off + cw], bd_row_ref[:],
                        preferred_element_type=jnp.float32)
         pix = jnp.round(pred_ref[0:th, off:off + cw].astype(jnp.float32)
                         + rows)
         out_ref[:, off:off + cw] = jnp.clip(pix, 0.0, 255.0).astype(
             jnp.int32).astype(jnp.uint8)
-        off += cw
 
 
 @functools.cache
@@ -200,7 +198,8 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
 
     h, w = ref.shape
     k_cap = int(mv_table.shape[0])
-    assert pad <= 128, "full-pel displacement bound exceeds column align"
+    assert k_cap <= 255, \
+        "sel is uint8 with 255 reserved for intra-in-P (SEL_INTRA)"
 
     if th is None:
         th = 64
@@ -208,20 +207,30 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
             th //= 2
 
     pad_y = -(-pad // 8) * 8
-    pad_x = 128
+    pad_x = -(-pad // 128) * 128
     h_win = th + 16
     w_win = -(-(w + 1) // 128) * 128 + 128
-    # window starts span [0, pad_x] cols and rows up to h - th + pad_y + 64
-    refp = jnp.pad(ref, ((pad_y, h_win), (pad_x, w_win - w)), mode="edge")
+    # Window DMA bounds (see pallas_mc): rows reach
+    # (h - th) + pad_y + 8*((pad-1)>>3) + h_win, cols reach
+    # pad_x + 128*((pad-1)>>7) + w_win.
+    refp = jnp.pad(
+        ref,
+        ((pad_y, 8 * ((pad - 1) >> 3) + 16),
+         (pad_x, 128 * ((pad - 1) >> 7) + w_win - w)),
+        mode="edge")
 
     bd_col = jnp.asarray(_block_diag_idct(th, transpose=False))
     chunks = [128] * (w // 128)
     if w % 128:
         chunks.append(w % 128)
-    bd_rows = [jnp.asarray(_block_diag_idct(cw, transpose=True))
-               for cw in dict.fromkeys(chunks)]
-    bd_by_w = {int(b.shape[0]): b for b in bd_rows}
-    bd_row_args = [bd_by_w[cw] for cw in chunks]
+    widths = list(dict.fromkeys(chunks))
+    bd_row_args = [jnp.asarray(_block_diag_idct(cw, transpose=True))
+                   for cw in widths]
+    chunk_map, off = [], 0
+    for cw in chunks:
+        chunk_map.append((off, cw, widths.index(cw)))
+        off += cw
+    chunk_map = tuple(chunk_map)
 
     mi, mn = _static_tiles_np(th, w, intra_q_key, non_intra_q_key)
 
@@ -237,13 +246,13 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
 
     return pl.pallas_call(
         functools.partial(_fused_kernel, quirk, k_cap, pad_y, pad_x, th, w,
-                          w_win, is_chroma),
+                          w_win, is_chroma, chunk_map),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(h // th,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # padded reference
+                pl.BlockSpec(memory_space=pl.ANY),   # padded reference
                 tile, tile, tile,                       # levels, qf, sel
                 const((th, w)), const((th, w)),         # mi, mn
                 const((th, th)),                        # bd_col
@@ -278,21 +287,24 @@ def decode_frame_planes_fused(frame: dict, refs: tuple, consts,
     """
     is_p = frame["is_p"]
     mv_table = frame.get("mv_table")
-    if mv_table is None:
-        mv_table = jnp.zeros((8, 2), jnp.int32)
-        n_valid = jnp.int32(1)
-    else:
-        n_valid = frame.get("mv_count", jnp.int32(mv_table.shape[0]))
+    if mv_table is None or not all(
+            ("sel" in frame[k]) or ("mv_idx" in frame[k])
+            for k in ("y", "cb", "cr")):
+        # No distinct-MV sideband: a P frame would silently decode with
+        # (0,0) prediction here, so delegate to the two-kernel path whose
+        # gather MC needs only per-block vectors (ADVICE r1).
+        from .pallas_decode import decode_frame_planes_pallas
+
+        return decode_frame_planes_pallas(
+            frame, refs, consts, quirk_oddify_zeros, interpret=interpret,
+            mv_pad=mv_pad, mc_impl="gather")
+    n_valid = frame.get("mv_count", jnp.int32(mv_table.shape[0]))
     out = []
     for i, key in enumerate(("y", "cb", "cr")):
         c = frame[key]
         qf = c["qf"] if "qf" in c else pack_qf(c["q"], c["intra"], c["lnz"])
-        if "sel" in c:
-            sel = c["sel"]
-        elif "mv_idx" in c:
-            sel = pack_sel(c["mv_idx"], c["rep_add"])
-        else:
-            sel = pack_sel(jnp.zeros_like(c["rep_add"]), c["rep_add"])
+        sel = c["sel"] if "sel" in c else pack_sel(c["mv_idx"],
+                                                   c["rep_add"])
         out.append(fused_decode_plane(
             c["levels"].astype(jnp.int16), qf, sel, refs[i], mv_table,
             n_valid, is_p, consts.intra_q_key, consts.non_intra_q_key,

@@ -127,9 +127,15 @@ def predict_plane_mvset_pallas(ref: jax.Array, mv_table: jax.Array,
     pad_x = -(-pad // 128) * 128
     h_win = th + 16                        # covers row remainder + 1 tap
     w_win = -(-(w + 1) // 128) * 128 + 128
+    # Bottom bound: the last strip's window DMA reaches row
+    # (h - th) + pad_y + 8*((pad-1)>>3) + h_win, so the bottom pad must
+    # be >= 8*((pad-1)>>3) + 16 for ANY tile height (h_win = th+16 was
+    # only sufficient for th >= 64).  Right bound: window cols end at
+    # pad_x + 128*((pad-1)>>7) + w_win.
     refp = jnp.pad(
         ref,
-        ((pad_y, h_win), (pad_x, w_win)),
+        ((pad_y, 8 * ((pad - 1) >> 3) + 16),
+         (pad_x, 128 * ((pad - 1) >> 7) + w_win - w)),
         mode="edge")
 
     # per-pixel expansions (cheap XLA broadcasts)
@@ -156,7 +162,7 @@ def predict_plane_mvset_pallas(ref: jax.Array, mv_table: jax.Array,
             grid=grid,
             in_specs=[
                 # full padded reference stays off-chip; windows are DMA'd
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((th, w), lambda i, mv: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((th, w), lambda i, mv: (i, 0),

@@ -47,7 +47,12 @@ def decode_gop_scan(stacked: dict, init_refs: tuple,
     """
 
     def step(refs, frame):
-        if impl == "pallas":
+        if impl == "fused":
+            from ..kernels.pallas_fused import decode_frame_planes_fused
+
+            planes = decode_frame_planes_fused(
+                frame, refs, consts, quirk_oddify_zeros)
+        elif impl == "pallas":
             from ..kernels.pallas_decode import decode_frame_planes_pallas
 
             planes = decode_frame_planes_pallas(

@@ -108,6 +108,73 @@ def test_pallas_recon_interpret_matches_xla(tiny_clip):
         refs = tuple(np.asarray(p) for p in a)
 
 
+def test_fused_kernel_interpret_matches_xla(tiny_clip):
+    """Fully-fused single-kernel path == the spec XLA path, bit-exactly."""
+    from jsvx.kernels.pallas_fused import decode_frame_planes_fused
+
+    frames = _stream_frames(tiny_clip, gop_size=3, quantizer_scale=4)
+    consts = None
+    refs = None
+    for ft, seq in frames:
+        if consts is None:
+            consts = make_constants(seq)
+            z = lambda h, w: np.zeros((h, w), np.uint8)
+            refs = (z(seq.coded_height, seq.coded_width),
+                    z(seq.coded_height // 2, seq.coded_width // 2),
+                    z(seq.coded_height // 2, seq.coded_width // 2))
+        cap = mv_bucket(len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+        d = frame_to_device(ft, mv_capacity=cap)
+        a = decode_frame_planes(d, refs, consts, mc_impl="mvset")
+        b = decode_frame_planes_fused(d, refs, consts, interpret=True)
+        for pa, pb in zip(a, b):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
+        refs = tuple(np.asarray(p) for p in a)
+
+
+def test_fused_kernel_falls_back_without_mv_sideband(tiny_clip):
+    """A P frame without the distinct-MV decomposition must not silently
+    decode with zero motion (ADVICE r1): the fused entry delegates to the
+    two-kernel gather path instead."""
+    from jsvx.kernels.pallas_fused import decode_frame_planes_fused
+
+    frames = _stream_frames(tiny_clip[:3], gop_size=3, quantizer_scale=4)
+    consts = None
+    refs = None
+    for ft, seq in frames:
+        if consts is None:
+            consts = make_constants(seq)
+            z = lambda h, w: np.zeros((h, w), np.uint8)
+            refs = (z(seq.coded_height, seq.coded_width),
+                    z(seq.coded_height // 2, seq.coded_width // 2),
+                    z(seq.coded_height // 2, seq.coded_width // 2))
+        d = frame_to_device(ft)           # no mv_capacity: no mv_table
+        a = decode_frame_planes(d, refs, consts, mc_impl="gather")
+        b = decode_frame_planes_fused(d, refs, consts, interpret=True)
+        for pa, pb in zip(a, b):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
+        refs = tuple(np.asarray(p) for p in a)
+
+
+def test_mc_pallas_small_tile_tall_pad(rng):
+    """Regression (ADVICE r1): plane heights forcing tile height < 64 made
+    the window DMA read past the padded reference for large downward MVs."""
+    from jsvx.kernels.pallas_mc import predict_plane_mvset_pallas
+
+    h, w = 24, 128                         # th collapses to 8
+    ref = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    mv_tbl = np.array([[0, 0], [141, 3], [-140, -95]], np.int32)
+    mv_tbl = np.vstack([mv_tbl, np.zeros((5, 2), np.int32)])
+    idx = rng.integers(0, 3, (h // 8, w // 8)).astype(np.int32)
+    rep = np.zeros((h // 8, w // 8), np.int32)
+    a = np.asarray(predict_plane_mvset(
+        jnp.asarray(ref), jnp.asarray(mv_tbl), jnp.asarray(idx),
+        jnp.asarray(rep), False, pad=72))
+    b = np.asarray(predict_plane_mvset_pallas(
+        jnp.asarray(ref), jnp.asarray(mv_tbl), jnp.asarray(idx),
+        jnp.asarray(rep), False, pad=72, interpret=True))
+    assert np.array_equal(a, b)
+
+
 def test_native_sideband_matches_xla_expand(tiny_clip):
     """C++-emitted mult/flags planes == the XLA expansion."""
     from jsvx.bitstream.native import get_native_parser
