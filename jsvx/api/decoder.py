@@ -77,6 +77,7 @@ class Decoder(EventDispatcher):
         except BitStallError:
             return                        # not enough header bytes yet
         self.meta = meta
+        self.parser.yuva = meta.yuva       # 4th component (jsv.js:256-259)
         self.buffer.read_pos = meta.header_bytes
         self.emit("meta", meta)
 
@@ -220,15 +221,10 @@ class Decoder(EventDispatcher):
             if self._consts is None:
                 self._consts = make_constants(seq)
             if self._refs is None:
-                import jax.numpy as jnp
+                from ..pipeline.gop import zero_refs
 
-                self._refs = (
-                    jnp.zeros((seq.coded_height, seq.coded_width),
-                              jnp.uint8),
-                    jnp.zeros((seq.coded_height // 2, seq.coded_width // 2),
-                              jnp.uint8),
-                    jnp.zeros((seq.coded_height // 2, seq.coded_width // 2),
-                              jnp.uint8))
+                self._refs = zero_refs(seq.coded_height, seq.coded_width,
+                                       n_comps=ft.n_comps)
             n_mv = len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1
             # sticky capacity: grow-only bucket avoids a recompile per
             # frame when distinct-MV counts fluctuate

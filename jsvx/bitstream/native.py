@@ -67,9 +67,10 @@ def _load():
         lib.jsv_parse_picture_slices.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32,
-            i16p, i16p, i16p, u8p, u8p, u8p, u8p, u8p, i16p, u8p,
-            u8p, u8p, i16p, i16p, i16p, u8p, u8p, u8p,
+            ctypes.c_int32, ctypes.c_int32,
+            i16p, i16p, i16p, i16p, u8p, u8p, u8p, u8p,
+            u8p, u8p, i16p, u8p,
+            u8p, u8p, i16p, i16p, i16p, i16p, u8p, u8p, u8p, u8p,
         ]
         _lib = lib
         return _lib
@@ -130,6 +131,9 @@ class NativeStreamParser:
         assert data.dtype == np.uint8 and data.flags.c_contiguous
         null16 = ctypes.POINTER(ctypes.c_int16)()
         null8 = ctypes.POINTER(ctypes.c_uint8)()
+        yuva = ft.n_comps == 4
+        lv_a = (_as(ft.levels[3], ctypes.c_int16) if yuva else null16)
+        lnz_a = (_as(ft.lnz[3], ctypes.c_uint8) if yuva else null8)
         if seq is not None:
             iq = np.ascontiguousarray(seq.intra_q, dtype=np.uint8)
             nq = np.ascontiguousarray(seq.non_intra_q, dtype=np.uint8)
@@ -141,24 +145,28 @@ class NativeStreamParser:
                      _as(ft.mult[0], ctypes.c_int16),
                      _as(ft.mult[1], ctypes.c_int16),
                      _as(ft.mult[2], ctypes.c_int16),
+                     (_as(ft.mult[3], ctypes.c_int16) if yuva else null16),
                      _as(ft.flags[0], ctypes.c_uint8),
                      _as(ft.flags[1], ctypes.c_uint8),
-                     _as(ft.flags[2], ctypes.c_uint8)]
+                     _as(ft.flags[2], ctypes.c_uint8),
+                     (_as(ft.flags[3], ctypes.c_uint8) if yuva else null8)]
             keep = (iq, nq)
         else:
-            extra = [null8, null8, null16, null16, null16,
-                     null8, null8, null8]
+            extra = [null8, null8, null16, null16, null16, null16,
+                     null8, null8, null8, null8]
             keep = ()
         rc = self._lib.jsv_parse_picture_slices(
             self._handle, _as(data, ctypes.c_uint8), data.size, start_bit,
             mb_w, mb_h, ft.picture_type,
-            1 if ft.full_pel else 0, ft.f_code,
+            1 if ft.full_pel else 0, ft.f_code, 1 if yuva else 0,
             _as(ft.levels[0], ctypes.c_int16),
             _as(ft.levels[1], ctypes.c_int16),
             _as(ft.levels[2], ctypes.c_int16),
+            lv_a,
             _as(ft.lnz[0], ctypes.c_uint8),
             _as(ft.lnz[1], ctypes.c_uint8),
             _as(ft.lnz[2], ctypes.c_uint8),
+            lnz_a,
             _as(ft.mb_quant, ctypes.c_uint8),
             _as(ft.mb_intra, ctypes.c_uint8),
             _as(ft.mb_mv, ctypes.c_int16),

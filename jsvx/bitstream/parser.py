@@ -61,15 +61,20 @@ class SequenceInfo:
 
 @dataclass
 class FrameTensors:
-    """Dense parse products for one picture (the device-kernel inputs)."""
+    """Dense parse products for one picture (the device-kernel inputs).
+
+    ``levels``/``lnz`` hold one entry per component: (Y, Cb, Cr) or, for
+    YUVA streams (container alpha flag, ``decoders/jsv.js:256-259``),
+    (Y, Cb, Cr, A) with the alpha plane at full luma resolution.
+    """
 
     picture_type: int            # PICTURE_TYPE_I or _P
     temporal_ref: int
     full_pel: bool
     f_code: int                  # forward_f_code (0 for I pictures)
     gop_time_ms: float           # GOP timecode resync carried by this frame
-    levels: tuple[np.ndarray, np.ndarray, np.ndarray]   # Y, Cb, Cr int16
-    lnz: tuple[np.ndarray, np.ndarray, np.ndarray]      # per-block uint8
+    levels: tuple                # per-component int16 coefficient planes
+    lnz: tuple                   # per-component per-block uint8
     mb_quant: np.ndarray         # uint8[mbH, mbW]
     mb_intra: np.ndarray         # uint8[mbH, mbW] (0/1)
     mb_mv: np.ndarray            # int16[mbH, mbW, 2] (vy, vx) half-pel
@@ -85,6 +90,40 @@ class FrameTensors:
     def is_intra_picture(self) -> bool:
         return self.picture_type == T.PICTURE_TYPE_I
 
+    @property
+    def n_comps(self) -> int:
+        return len(self.levels)
+
+
+def alloc_frame_tensors(seq: SequenceInfo, ptype: int, temporal_ref: int,
+                        full_pel: bool, f_code: int, gop_time_ms: float,
+                        yuva: bool = False) -> FrameTensors:
+    """Allocate zeroed FrameTensors for one picture of ``seq``."""
+    mb_h, mb_w = seq.mb_height, seq.mb_width
+    ch, cw = seq.coded_height, seq.coded_width
+    levels = [np.zeros((ch, cw), dtype=np.int16),
+              np.zeros((ch >> 1, cw >> 1), dtype=np.int16),
+              np.zeros((ch >> 1, cw >> 1), dtype=np.int16)]
+    lnz = [np.zeros((mb_h * 2, mb_w * 2), dtype=np.uint8),
+           np.zeros((mb_h, mb_w), dtype=np.uint8),
+           np.zeros((mb_h, mb_w), dtype=np.uint8)]
+    if yuva:
+        levels.append(np.zeros((ch, cw), dtype=np.int16))
+        lnz.append(np.zeros((mb_h * 2, mb_w * 2), dtype=np.uint8))
+    return FrameTensors(
+        picture_type=ptype,
+        temporal_ref=temporal_ref,
+        full_pel=full_pel,
+        f_code=f_code,
+        gop_time_ms=gop_time_ms,
+        levels=tuple(levels),
+        lnz=tuple(lnz),
+        mb_quant=np.ones((mb_h, mb_w), dtype=np.uint8),
+        mb_intra=np.zeros((mb_h, mb_w), dtype=np.uint8),
+        mb_mv=np.zeros((mb_h, mb_w, 2), dtype=np.int16),
+        mb_rep_add=np.zeros((mb_h, mb_w), dtype=np.uint8),
+    )
+
 
 class StreamParser:
     """Stateful elementary-stream parser (sequence/GOP/picture layers).
@@ -92,9 +131,22 @@ class StreamParser:
     ``use_native`` selects the C++ slice/macroblock/block back-end
     (:mod:`jsvx.bitstream.native`): ``None`` = auto (use it when it
     builds), ``False`` = pure Python, ``True`` = require it.
+
+    ``yuva`` (settable any time before the first picture; normally copied
+    from :class:`jsvx.bitstream.container.ContainerMeta`) enables the
+    4th alpha component.  The reference only plumbs the flag through its
+    GL pools (``decoders/jsv.js:256-259,60-75``) without defining the
+    alpha coding; this framework defines it concretely: each macroblock
+    carries 4 extra alpha blocks (6..9, spatially the 4 luma positions),
+    always coded for intra macroblocks, gated by a 4-bit alpha coded
+    pattern immediately after the cbp VLC otherwise; alpha DC uses its
+    own per-slice predictor with the luminance DC-size table; alpha
+    prediction uses the luma motion vectors at full resolution.
     """
 
-    def __init__(self, use_native: bool | None = None):
+    def __init__(self, use_native: bool | None = None,
+                 yuva: bool = False):
+        self.yuva = yuva
         self._native = None
         if use_native is None or use_native:
             from .native import get_native_parser
@@ -200,25 +252,10 @@ class StreamParser:
                 return None
 
         mb_h, mb_w = seq.mb_height, seq.mb_width
-        ch, cw = seq.coded_height, seq.coded_width
-        ft = FrameTensors(
-            picture_type=ptype,
-            temporal_ref=temporal_ref,
-            full_pel=full_pel,
-            f_code=f_code,
-            gop_time_ms=(self._pending_gop_time
-                         if self._have_pending_gop else 0.0),
-            levels=(np.zeros((ch, cw), dtype=np.int16),
-                    np.zeros((ch >> 1, cw >> 1), dtype=np.int16),
-                    np.zeros((ch >> 1, cw >> 1), dtype=np.int16)),
-            lnz=(np.zeros((mb_h * 2, mb_w * 2), dtype=np.uint8),
-                 np.zeros((mb_h, mb_w), dtype=np.uint8),
-                 np.zeros((mb_h, mb_w), dtype=np.uint8)),
-            mb_quant=np.ones((mb_h, mb_w), dtype=np.uint8),
-            mb_intra=np.zeros((mb_h, mb_w), dtype=np.uint8),
-            mb_mv=np.zeros((mb_h, mb_w, 2), dtype=np.int16),
-            mb_rep_add=np.zeros((mb_h, mb_w), dtype=np.uint8),
-        )
+        ft = alloc_frame_tensors(seq, ptype, temporal_ref, full_pel, f_code,
+                                 self._pending_gop_time
+                                 if self._have_pending_gop else 0.0,
+                                 yuva=self.yuva)
         self._have_pending_gop = False
 
         if self._native is not None and self._picture_end_known(
@@ -369,12 +406,17 @@ class StreamParser:
 
         if mb_type & 0x02:
             cbp = r.read_vlc(self._t_cbp)
+            acbp = r.get_bits(4) if ft.n_comps == 4 else 0
         else:
             cbp = 0x3F if intra else 0
+            acbp = 0xF if (intra and ft.n_comps == 4) else 0
 
         for block in range(6):
             if cbp & (0x20 >> block):
                 self._parse_block(r, ft, state, row, col, block, intra)
+        for ab in range(4):                # alpha blocks 6..9 (YUVA)
+            if acbp & (0x8 >> ab):
+                self._parse_block(r, ft, state, row, col, 6 + ab, intra)
         return mb_address
 
     def _decode_motion_component(self, r: BitReader, state: "_SliceState",
@@ -414,6 +456,9 @@ class StreamParser:
             if block < 4:
                 predictor = state.dc_y
                 size = r.read_vlc(self._t_dc_lum)
+            elif block >= 6:               # alpha: own predictor, lum table
+                predictor = state.dc_a
+                size = r.read_vlc(self._t_dc_lum)
             else:
                 predictor = state.dc_cb if block == 4 else state.dc_cr
                 size = r.read_vlc(self._t_dc_chrom)
@@ -428,6 +473,8 @@ class StreamParser:
             block_data[0] = dc
             if block < 4:
                 state.dc_y = dc
+            elif block >= 6:
+                state.dc_a = dc
             elif block == 4:
                 state.dc_cb = dc
             else:
@@ -459,10 +506,11 @@ class StreamParser:
             n += 1
 
         # Place the 8x8 block into the plane and record last-non-zero.
-        if block < 4:
-            comp = 0
-            by = row * 2 + (1 if block & 2 else 0)
-            bx = col * 2 + (1 if block & 1 else 0)
+        if block < 4 or block >= 6:
+            comp = 0 if block < 4 else 3
+            b = block if block < 4 else block - 6
+            by = row * 2 + (1 if b & 2 else 0)
+            bx = col * 2 + (1 if b & 1 else 0)
         else:
             comp = 1 if block == 4 else 2
             by, bx = row, col
@@ -475,7 +523,7 @@ class StreamParser:
 class _SliceState:
     """Per-slice predictors (reset rules: jsv.js:687-692)."""
 
-    __slots__ = ("quantizer_scale", "dc_y", "dc_cb", "dc_cr",
+    __slots__ = ("quantizer_scale", "dc_y", "dc_cb", "dc_cr", "dc_a",
                  "motion_h", "motion_v", "motion_h_prev", "motion_v_prev")
 
     def __init__(self):
@@ -484,7 +532,7 @@ class _SliceState:
         self.reset_mv()
 
     def reset_dc(self):
-        self.dc_y = self.dc_cb = self.dc_cr = 128
+        self.dc_y = self.dc_cb = self.dc_cr = self.dc_a = 128
 
     def reset_mv(self):
         self.motion_h = self.motion_v = 0

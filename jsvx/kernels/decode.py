@@ -83,6 +83,20 @@ jax.tree_util.register_pytree_node(
 # ---------------------------------------------------------------------------
 # Host -> device packing
 
+#: Component key per plane index; [3] is the YUVA alpha plane (full
+#: resolution, luma-like block grid, NOT halved motion vectors).
+COMP_KEYS = ("y", "cb", "cr", "a")
+
+
+def frame_comp_keys(frame: dict) -> tuple:
+    """The component keys present in a device-frame pytree."""
+    return tuple(k for k in COMP_KEYS if k in frame)
+
+
+def comp_is_chroma(comp: int) -> bool:
+    return comp in (1, 2)
+
+
 def mv_bucket(n: int) -> int:
     """Static distinct-MV capacity buckets (limits recompilation).
 
@@ -110,8 +124,8 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
     """
 
     def mb_to_blocks(a, comp):
-        return np.repeat(np.repeat(a, 2, axis=0), 2, axis=1) if comp == 0 \
-            else a
+        return a if comp_is_chroma(comp) \
+            else np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)
 
     mv_table = mv_idx = None
     if mv_capacity:
@@ -136,8 +150,8 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
         mv_count = np.int32(len(uniq))
         mv_idx = inv.reshape(ft.mb_mv.shape[:2]).astype(np.int32)
 
-    comps = []
-    for comp in range(3):
+    out = dict(is_p=np.int32(0 if ft.is_intra_picture else 1))
+    for comp in range(len(ft.levels)):
         c = dict(
             levels=ft.levels[comp].astype(dtype_levels),
             lnz=ft.lnz[comp].astype(np.int32),
@@ -151,11 +165,7 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
         if ft.mult is not None:
             c["mult"] = ft.mult[comp]
             c["flags"] = ft.flags[comp]
-        comps.append(c)
-    out = dict(
-        y=comps[0], cb=comps[1], cr=comps[2],
-        is_p=np.int32(0 if ft.is_intra_picture else 1),
-    )
+        out[COMP_KEYS[comp]] = c
     if mv_capacity:
         out["mv_table"] = mv_table
         out["mv_count"] = mv_count
@@ -378,7 +388,7 @@ def decode_frame_planes(frame: dict, refs: tuple, consts: DecodeConstants,
                         quirk_oddify_zeros: bool = False,
                         mv_pad: int = 72, mc_impl: str = "mvset",
                         mc_range: int = 16) -> tuple:
-    """All three planes of one picture; ``refs`` = (Y, Cb, Cr) uint8."""
+    """All planes of one picture; ``refs`` = (Y, Cb, Cr[, A]) uint8."""
     is_p = frame["is_p"]
     mv_table = frame.get("mv_table")
     if mc_impl in ("mvset", "pallas") and (
@@ -386,10 +396,10 @@ def decode_frame_planes(frame: dict, refs: tuple, consts: DecodeConstants,
         mc_impl = "gather"
     kw = dict(quirk_oddify_zeros=quirk_oddify_zeros, mv_table=mv_table,
               mv_pad=mv_pad, mc_impl=mc_impl, mc_range=mc_range)
-    y = decode_frame_plane(frame["y"], refs[0], is_p, consts, False, **kw)
-    cb = decode_frame_plane(frame["cb"], refs[1], is_p, consts, True, **kw)
-    cr = decode_frame_plane(frame["cr"], refs[2], is_p, consts, True, **kw)
-    return y, cb, cr
+    return tuple(
+        decode_frame_plane(frame[k], refs[i], is_p, consts,
+                           comp_is_chroma(i), **kw)
+        for i, k in enumerate(frame_comp_keys(frame)))
 
 
 @functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",

@@ -228,6 +228,8 @@ def decode_frame_planes_pallas(frame: dict, refs: tuple,
                                interpret: bool = False,
                                mv_pad: int = 72,
                                mc_impl: str = "pallas") -> tuple:
+    from .decode import comp_is_chroma, frame_comp_keys
+
     is_p = frame["is_p"]
     mv_table = frame.get("mv_table")
     if mv_table is None or "mv_idx" not in frame["y"]:
@@ -236,12 +238,13 @@ def decode_frame_planes_pallas(frame: dict, refs: tuple,
     else:
         mc_impl_eff = mc_impl
     return tuple(
-        decode_frame_plane_pallas(frame[k], refs[i], is_p, consts, i != 0,
+        decode_frame_plane_pallas(frame[k], refs[i], is_p, consts,
+                                  comp_is_chroma(i),
                                   quirk_oddify_zeros, interpret,
                                   mv_table=mv_table, mv_pad=mv_pad,
                                   mc_impl=mc_impl_eff,
                                   mv_count=frame.get("mv_count"))
-        for i, k in enumerate(("y", "cb", "cr")))
+        for i, k in enumerate(frame_comp_keys(frame)))
 
 
 @functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))

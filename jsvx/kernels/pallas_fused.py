@@ -285,11 +285,13 @@ def decode_frame_planes_fused(frame: dict, refs: tuple, consts,
     encoder-emitted); otherwise packs them from block-level sideband with
     cheap XLA broadcasts.
     """
+    from .decode import comp_is_chroma, frame_comp_keys
+
     is_p = frame["is_p"]
+    keys = frame_comp_keys(frame)
     mv_table = frame.get("mv_table")
     if mv_table is None or not all(
-            ("sel" in frame[k]) or ("mv_idx" in frame[k])
-            for k in ("y", "cb", "cr")):
+            ("sel" in frame[k]) or ("mv_idx" in frame[k]) for k in keys):
         # No distinct-MV sideband: a P frame would silently decode with
         # (0,0) prediction here, so delegate to the two-kernel path whose
         # gather MC needs only per-block vectors (ADVICE r1).
@@ -300,7 +302,7 @@ def decode_frame_planes_fused(frame: dict, refs: tuple, consts,
             mv_pad=mv_pad, mc_impl="gather")
     n_valid = frame.get("mv_count", jnp.int32(mv_table.shape[0]))
     out = []
-    for i, key in enumerate(("y", "cb", "cr")):
+    for i, key in enumerate(keys):
         c = frame[key]
         qf = c["qf"] if "qf" in c else pack_qf(c["q"], c["intra"], c["lnz"])
         sel = c["sel"] if "sel" in c else pack_sel(c["mv_idx"],
@@ -308,6 +310,6 @@ def decode_frame_planes_fused(frame: dict, refs: tuple, consts,
         out.append(fused_decode_plane(
             c["levels"].astype(jnp.int16), qf, sel, refs[i], mv_table,
             n_valid, is_p, consts.intra_q_key, consts.non_intra_q_key,
-            is_chroma=(i != 0), quirk=quirk_oddify_zeros, pad=mv_pad,
-            interpret=interpret))
+            is_chroma=comp_is_chroma(i), quirk=quirk_oddify_zeros,
+            pad=mv_pad, interpret=interpret))
     return tuple(out)

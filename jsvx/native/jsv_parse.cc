@@ -87,21 +87,19 @@ struct Parser {
 
 struct SliceState {
   int32_t quantizer_scale = 0;
-  int32_t dc_y = 128, dc_cb = 128, dc_cr = 128;
+  int32_t dc_y = 128, dc_cb = 128, dc_cr = 128, dc_a = 128;
   int32_t motion_h = 0, motion_v = 0;
   int32_t motion_h_prev = 0, motion_v_prev = 0;
 
-  void reset_dc() { dc_y = dc_cb = dc_cr = 128; }
+  void reset_dc() { dc_y = dc_cb = dc_cr = dc_a = 128; }
   void reset_mv() { motion_h = motion_v = motion_h_prev = motion_v_prev = 0; }
 };
 
 struct PictureOut {
-  int16_t* levels_y;
-  int16_t* levels_cb;
-  int16_t* levels_cr;
-  uint8_t* lnz_y;     // (2*mbH, 2*mbW)
-  uint8_t* lnz_cb;    // (mbH, mbW)
-  uint8_t* lnz_cr;
+  // per-component coefficient planes; [3] = alpha (YUVA, full-res)
+  int16_t* levels[4] = {nullptr, nullptr, nullptr, nullptr};
+  // per-component last-non-zero: Y/A at (2*mbH, 2*mbW), chroma (mbH, mbW)
+  uint8_t* lnz[4] = {nullptr, nullptr, nullptr, nullptr};
   uint8_t* mb_quant;
   uint8_t* mb_intra;
   int16_t* mb_mv;     // (mbH, mbW, 2) = (vy, vx)
@@ -109,8 +107,8 @@ struct PictureOut {
   // optional device-ready per-pixel dequant sideband (may be null):
   //   mult  = quantizer_scale * quant_matrix value at this position
   //   flags = bit0 non-intra, bit1 inside coded scan range, bit2 intra DC
-  int16_t* mult[3] = {nullptr, nullptr, nullptr};
-  uint8_t* flags[3] = {nullptr, nullptr, nullptr};
+  int16_t* mult[4] = {nullptr, nullptr, nullptr, nullptr};
+  uint8_t* flags[4] = {nullptr, nullptr, nullptr, nullptr};
   const uint8_t* intra_q = nullptr;      // 64, spatial order
   const uint8_t* non_intra_q = nullptr;
 };
@@ -119,6 +117,7 @@ struct PictureCtx {
   int32_t mb_w, mb_h, coded_w;
   int32_t picture_type;    // 1 = I, 2 = P
   int32_t full_pel, f_code;
+  int32_t yuva;            // 4th alpha component (4 extra blocks per MB)
 };
 
 inline int32_t decode_motion_component(BitReader& r, const Parser& p,
@@ -155,6 +154,9 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     if (block < 4) {
       predictor = s.dc_y;
       size = r.vlc(p.dc_lum);
+    } else if (block >= 6) {       // alpha: own predictor, luminance table
+      predictor = s.dc_a;
+      size = r.vlc(p.dc_lum);
     } else {
       predictor = (block == 4) ? s.dc_cb : s.dc_cr;
       size = r.vlc(p.dc_chrom);
@@ -169,6 +171,7 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     }
     block_data[0] = dc;
     if (block < 4) s.dc_y = dc;
+    else if (block >= 6) s.dc_a = dc;
     else if (block == 4) s.dc_cb = dc;
     else s.dc_cr = dc;
     n = 1;
@@ -201,22 +204,20 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
 
   // Place the block and record last-non-zero.
   int comp, by, bx;
-  int16_t* plane;
   int stride;
-  if (block < 4) {
-    comp = 0;
-    by = row * 2 + ((block & 2) ? 1 : 0);
-    bx = col * 2 + ((block & 1) ? 1 : 0);
-    plane = o.levels_y;
+  if (block < 4 || block >= 6) {
+    comp = (block < 4) ? 0 : 3;
+    int b = (block < 4) ? block : block - 6;
+    by = row * 2 + ((b & 2) ? 1 : 0);
+    bx = col * 2 + ((b & 1) ? 1 : 0);
     stride = c.coded_w;
   } else {
     comp = (block == 4) ? 1 : 2;
     by = row;
     bx = col;
-    plane = (block == 4) ? o.levels_cb : o.levels_cr;
     stride = c.coded_w >> 1;
   }
-  int16_t* dst = plane + (int64_t)by * 8 * stride + bx * 8;
+  int16_t* dst = o.levels[comp] + (int64_t)by * 8 * stride + bx * 8;
   for (int i = 0; i < 8; ++i) {
     for (int j = 0; j < 8; ++j)
       dst[j] = (int16_t)block_data[i * 8 + j];
@@ -242,9 +243,8 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     }
   }
   uint8_t lnz = (uint8_t)(n > 255 ? 255 : n);
-  if (comp == 0) o.lnz_y[(int64_t)by * (c.mb_w * 2) + bx] = lnz;
-  else if (comp == 1) o.lnz_cb[(int64_t)by * c.mb_w + bx] = lnz;
-  else o.lnz_cr[(int64_t)by * c.mb_w + bx] = lnz;
+  int lnz_stride = (comp == 0 || comp == 3) ? c.mb_w * 2 : c.mb_w;
+  o.lnz[comp][(int64_t)by * lnz_stride + bx] = lnz;
   return 0;
 }
 
@@ -314,17 +314,25 @@ inline int parse_macroblock(BitReader& r, const Parser& p,
     o.mb_mv[((int64_t)row * c.mb_w + col) * 2 + 1] = (int16_t)s.motion_h;
   }
 
-  int32_t cbp = 0;
+  int32_t cbp = 0, acbp = 0;
   if (mb_type & 0x02) {
     cbp = r.vlc(p.cbp);
     if (r.bad) return kErrBadCode;
+    if (c.yuva) acbp = int32_t(r.get(4));
   } else if (intra) {
     cbp = 0x3F;
+    if (c.yuva) acbp = 0xF;
   }
 
   for (int block = 0; block < 6; ++block) {
     if (cbp & (0x20 >> block)) {
       int rc = parse_block(r, p, c, o, s, row, col, block, intra);
+      if (rc < 0) return rc;
+    }
+  }
+  for (int ab = 0; ab < 4; ++ab) {       // alpha blocks 6..9 (YUVA)
+    if (acbp & (0x8 >> ab)) {
+      int rc = parse_block(r, p, c, o, s, row, col, 6 + ab, intra);
       if (rc < 0) return rc;
     }
   }
@@ -380,22 +388,30 @@ void jsv_parser_free(void* handle) { delete (Parser*)handle; }
 int64_t jsv_parse_picture_slices(
     void* handle, const uint8_t* data, int64_t n_bytes, int64_t start_bit,
     int32_t mb_w, int32_t mb_h, int32_t picture_type, int32_t full_pel,
-    int32_t f_code,
+    int32_t f_code, int32_t yuva,
     int16_t* levels_y, int16_t* levels_cb, int16_t* levels_cr,
-    uint8_t* lnz_y, uint8_t* lnz_cb, uint8_t* lnz_cr,
+    int16_t* levels_a,
+    uint8_t* lnz_y, uint8_t* lnz_cb, uint8_t* lnz_cr, uint8_t* lnz_a,
     uint8_t* mb_quant, uint8_t* mb_intra, int16_t* mb_mv,
     uint8_t* mb_rep_add,
     // optional (may all be null): per-pixel dequant sideband emission
     const uint8_t* intra_q, const uint8_t* non_intra_q,
-    int16_t* mult_y, int16_t* mult_cb, int16_t* mult_cr,
-    uint8_t* flags_y, uint8_t* flags_cb, uint8_t* flags_cr) {
+    int16_t* mult_y, int16_t* mult_cb, int16_t* mult_cr, int16_t* mult_a,
+    uint8_t* flags_y, uint8_t* flags_cb, uint8_t* flags_cr,
+    uint8_t* flags_a) {
   Parser& p = *(Parser*)handle;
-  PictureCtx c{mb_w, mb_h, mb_w * 16, picture_type, full_pel, f_code};
-  PictureOut o{levels_y, levels_cb, levels_cr, lnz_y, lnz_cb, lnz_cr,
-               mb_quant, mb_intra, mb_mv, mb_rep_add};
+  PictureCtx c{mb_w, mb_h, mb_w * 16, picture_type, full_pel, f_code, yuva};
+  PictureOut o;
+  o.levels[0] = levels_y; o.levels[1] = levels_cb;
+  o.levels[2] = levels_cr; o.levels[3] = levels_a;
+  o.lnz[0] = lnz_y; o.lnz[1] = lnz_cb; o.lnz[2] = lnz_cr; o.lnz[3] = lnz_a;
+  o.mb_quant = mb_quant; o.mb_intra = mb_intra;
+  o.mb_mv = mb_mv; o.mb_rep_add = mb_rep_add;
   if (mult_y != nullptr && intra_q != nullptr) {
     o.mult[0] = mult_y; o.mult[1] = mult_cb; o.mult[2] = mult_cr;
+    o.mult[3] = mult_a;
     o.flags[0] = flags_y; o.flags[1] = flags_cb; o.flags[2] = flags_cr;
+    o.flags[3] = flags_a;
     o.intra_q = intra_q;
     o.non_intra_q = non_intra_q;
   }

@@ -25,10 +25,13 @@ def stack_device_frames(frames: list[dict]) -> dict:
     return jax.tree.map(lambda *xs: np.stack(xs), *frames)
 
 
-def zero_refs(coded_h: int, coded_w: int) -> tuple:
-    return (jnp.zeros((coded_h, coded_w), dtype=jnp.uint8),
+def zero_refs(coded_h: int, coded_w: int, n_comps: int = 3) -> tuple:
+    refs = [jnp.zeros((coded_h, coded_w), dtype=jnp.uint8),
             jnp.zeros((coded_h // 2, coded_w // 2), dtype=jnp.uint8),
-            jnp.zeros((coded_h // 2, coded_w // 2), dtype=jnp.uint8))
+            jnp.zeros((coded_h // 2, coded_w // 2), dtype=jnp.uint8)]
+    if n_comps == 4:                       # YUVA alpha plane (full-res)
+        refs.append(jnp.zeros((coded_h, coded_w), dtype=jnp.uint8))
+    return tuple(refs)
 
 
 @functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",

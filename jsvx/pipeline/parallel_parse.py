@@ -20,7 +20,8 @@ import numpy as np
 
 from ..bitstream.bitio import BitReader
 from ..bitstream.container import (StartCodeIndex, parse_container_header)
-from ..bitstream.parser import FrameTensors, SequenceInfo, StreamParser
+from ..bitstream.parser import (FrameTensors, SequenceInfo, StreamParser,
+                                alloc_frame_tensors)
 from ..bitstream.native import get_native_parser
 from ..coding import tables as T
 
@@ -46,6 +47,7 @@ def parse_stream_parallel(data: bytes, n_threads: int | None = None,
     meta = parse_container_header(r)
     index = StartCodeIndex.scan(data)
     parser = parser or StreamParser()
+    parser.yuva = meta.yuva
     native = get_native_parser()
 
     frames: list[FrameTensors] = []
@@ -111,24 +113,10 @@ def _parse_picture_header(parser: StreamParser, r: BitReader):
         f_code = r.get_bits(3)
         if f_code == 0:
             return None, 0
-    mb_h, mb_w = seq.mb_height, seq.mb_width
-    ch, cw = seq.coded_height, seq.coded_width
-    ft = FrameTensors(
-        picture_type=ptype, temporal_ref=temporal_ref, full_pel=full_pel,
-        f_code=f_code,
-        gop_time_ms=(parser._pending_gop_time
-                     if parser._have_pending_gop else 0.0),
-        levels=(np.zeros((ch, cw), dtype=np.int16),
-                np.zeros((ch >> 1, cw >> 1), dtype=np.int16),
-                np.zeros((ch >> 1, cw >> 1), dtype=np.int16)),
-        lnz=(np.zeros((mb_h * 2, mb_w * 2), dtype=np.uint8),
-             np.zeros((mb_h, mb_w), dtype=np.uint8),
-             np.zeros((mb_h, mb_w), dtype=np.uint8)),
-        mb_quant=np.ones((mb_h, mb_w), dtype=np.uint8),
-        mb_intra=np.zeros((mb_h, mb_w), dtype=np.uint8),
-        mb_mv=np.zeros((mb_h, mb_w, 2), dtype=np.int16),
-        mb_rep_add=np.zeros((mb_h, mb_w), dtype=np.uint8),
-    )
+    ft = alloc_frame_tensors(seq, ptype, temporal_ref, full_pel, f_code,
+                             parser._pending_gop_time
+                             if parser._have_pending_gop else 0.0,
+                             yuva=parser.yuva)
     parser._have_pending_gop = False
     return ft, r.bit_pos
 

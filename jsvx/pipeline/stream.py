@@ -41,7 +41,7 @@ class JaxStreamDecoder:
         self.reader = BitReader(self.data)
         self.meta = parse_container_header(self.reader)
         self.index = StartCodeIndex.scan(self.data)
-        self.parser = StreamParser()
+        self.parser = StreamParser(yuva=self.meta.yuva)
 
     def parse_all(self):
         """Host pass: all FrameTensors in stream order."""
@@ -74,7 +74,8 @@ class JaxStreamDecoder:
         fts = self.parse_all()
         seq = self.parser.seq
         consts = make_constants(seq)
-        refs = zero_refs(seq.coded_height, seq.coded_width)
+        refs = zero_refs(seq.coded_height, seq.coded_width,
+                         n_comps=self.meta.n_components)
         frames = []
 
         def capacity_for(group):
@@ -107,9 +108,8 @@ class JaxStreamDecoder:
                 outs, refs = decode_gop_scan(
                     stacked, refs, consts, self.quirk,
                     mc_impl="mvset" if cap else "gather", impl=impl)
-                ys, cbs, crs = outs
                 for i in range(len(gop)):
-                    frames.append((ys[i], cbs[i], crs[i]))
+                    frames.append(tuple(p[i] for p in outs))
         else:
             for ft in fts:
                 cap = stream_cap

@@ -85,7 +85,8 @@ def transcode(data: bytes, sink=None, *, impl: str | None = None,
                 lambda *xs: np.stack(xs),
                 *[frame_to_device(ft, mv_capacity=cap) for ft in group])
         with metrics.timers.stage("device_decode"):
-            refs = zero_refs(seq.coded_height, seq.coded_width)
+            refs = zero_refs(seq.coded_height, seq.coded_width,
+                             n_comps=parsed.meta.n_components)
             outs, _ = decode_gop_scan(
                 stacked, refs, consts, quirk_oddify_zeros,
                 mc_impl="mvset" if cap else "gather", impl=impl)

@@ -39,14 +39,18 @@ def decode_gops_parallel(batch: dict, coded_h: int, coded_w: int,
     stacked planes ``(n_gops, n_frames, H, W)`` sharded the same way.
     """
     n_gops = batch["is_p"].shape[0]
+    n_comps = 4 if "a" in batch else 3
     batch = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(
             mesh, P(*([axis_name] + [None] * (x.ndim - 1))))), batch)
 
     def refs_for(n):
-        return (jnp.zeros((n, coded_h, coded_w), jnp.uint8),
+        refs = [jnp.zeros((n, coded_h, coded_w), jnp.uint8),
                 jnp.zeros((n, coded_h // 2, coded_w // 2), jnp.uint8),
-                jnp.zeros((n, coded_h // 2, coded_w // 2), jnp.uint8))
+                jnp.zeros((n, coded_h // 2, coded_w // 2), jnp.uint8)]
+        if n_comps == 4:
+            refs.append(jnp.zeros((n, coded_h, coded_w), jnp.uint8))
+        return tuple(refs)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(batch, refs):
@@ -56,6 +60,6 @@ def decode_gops_parallel(batch: dict, coded_h: int, coded_w: int,
 
     refs = jax.device_put(
         refs_for(n_gops),
-        (NamedSharding(mesh, P(axis_name)),) * 3)
+        (NamedSharding(mesh, P(axis_name)),) * n_comps)
     outs, final = run(batch, refs)
     return outs, final

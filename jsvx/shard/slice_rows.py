@@ -9,9 +9,12 @@ needs no communication; only P-frame motion compensation reads up to
 the reference's single-GPU texture rebind (``decoders/jsv.js:1320``).
 
 The required halo is ``8 * forward_f + 1`` pixels of luma (motion range is
-``+/-(16*forward_f - 1)`` half-pel, jsv.js:850-855).  When a picture's
-f_code exceeds the static halo budget the caller should fall back to the
-all-gather path (:mod:`jsvx.shard.gop_parallel` uses full gathers).
+``+/-(16*forward_f - 1)`` half-pel, jsv.js:850-855).  By default the halo
+is DERIVED from the stream's f_code (``frame_to_device`` records it), and
+when the derived halo reaches the local shard height — neighbour exchange
+can no longer cover the motion range — the reference planes are instead
+``all_gather``-ed per frame (the safe fallback), transparently producing
+the same bit-exact result.
 """
 
 from __future__ import annotations
@@ -20,9 +23,57 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels.decode import DecodeConstants, decode_frame_plane
+
+
+def halo_for_f_code(f_code: int) -> int:
+    """Luma halo rows covering f_code's vertical motion range.
+
+    Motion is bounded by ``+/-(16*F - 1)`` half-pel (``F = 1 <<
+    (f_code-1)``, jsv.js:850-855) = ``8*F - 1`` full-pel, +1 row for the
+    half-pel interpolation tap; rounded up to a multiple of 16 so the
+    chroma halo (half) stays a multiple of the 8-pixel block grid.
+    """
+    full = 8 * (1 << (max(int(f_code), 1) - 1)) + 1
+    return -(-full // 16) * 16
+
+
+def derive_halo_y(stacked: dict) -> int:
+    """Halo from the stacked frames' recorded f_code (host-side).
+
+    Must run on concrete (pre-jit) arrays: the halo is a static shape
+    parameter.  Raises with guidance when traced.
+    """
+    fc = stacked.get("f_code")
+    if fc is None:
+        return 16                          # no P pictures recorded
+    try:
+        mx = int(np.asarray(fc).max())
+    except Exception as e:                 # tracer: cannot derive under jit
+        raise ValueError(
+            "halo_y must be derived from concrete f_code values before "
+            "jit — call derive_halo_y(stacked) outside the jitted "
+            "function and pass halo_y explicitly") from e
+    if mx <= 0:
+        return 16
+    return halo_for_f_code(mx)
+
+
+def gather_row_halo(local: jax.Array, halo: int,
+                    axis_name: str) -> jax.Array:
+    """All-gather fallback: halo >= local shard height, so neighbour
+    ppermute cannot cover the motion range.  Gathers the full plane,
+    edge-pads, and slices this shard's (h_local + 2*halo) window —
+    downstream code is identical to the exchange path."""
+    h_local, w = local.shape
+    full = jax.lax.all_gather(local, axis_name, tiled=True)
+    padded = jnp.pad(full, ((halo, halo), (0, 0)), mode="edge")
+    row0 = jax.lax.axis_index(axis_name) * h_local
+    return jax.lax.dynamic_slice(padded, (row0, 0),
+                                 (h_local + 2 * halo, w))
 
 
 def exchange_row_halo(local: jax.Array, halo: int,
@@ -63,11 +114,13 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
     ``mv_idx`` and halo_y a multiple of 16); ``"gather"`` is the exact
     per-pixel path with global-coordinate clamping.
     """
+    from ..kernels.decode import comp_is_chroma, frame_comp_keys
+
     idx = jax.lax.axis_index(axis_name)
     outs = []
     use_mvset = mc_impl == "mvset" and "mv_table" in frame
-    for comp, key in enumerate(("y", "cb", "cr")):
-        halo = halo_y if comp == 0 else halo_y // 2
+    for comp, key in enumerate(frame_comp_keys(frame)):
+        halo = halo_y // 2 if comp_is_chroma(comp) else halo_y
         local_ref = refs[comp]
         h_local = local_ref.shape[0]
         ext = exchange_row_halo(local_ref, halo, axis_name)
@@ -81,7 +134,8 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
             idx_ext = jnp.pad(ci["mv_idx"], pad_blk, mode="edge")
             rep_ext = jnp.pad(ci["rep_add"], pad_blk, mode="edge")
             pred = predict_plane_mvset(
-                ext, frame["mv_table"], idx_ext, rep_ext, comp != 0,
+                ext, frame["mv_table"], idx_ext, rep_ext,
+                comp_is_chroma(comp),
                 pad=max(halo, 8))[halo:halo + h_local]
             pred = pred * frame["is_p"].astype(jnp.int32)
             d = dequant_plane(ci["levels"], ci["q"], ci["intra"],
@@ -92,7 +146,8 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
         else:
             row0 = idx * h_local
             outs.append(decode_frame_plane(
-                frame[key], ext, frame["is_p"], consts, comp != 0, quirk,
+                frame[key], ext, frame["is_p"], consts,
+                comp_is_chroma(comp), quirk,
                 halo=halo, row0=row0, h_global=h_globals[comp]))
     return tuple(outs)
 
@@ -110,8 +165,11 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
     performs one halo exchange per plane.  Returns (stacked planes, final
     refs) with the same shardings.
     """
-    h_globals = (init_refs[0].shape[0], init_refs[1].shape[0],
-                 init_refs[2].shape[0])
+    from ..kernels.decode import frame_comp_keys
+
+    comp_keys = frame_comp_keys(stacked)
+    n_comps = len(comp_keys)
+    h_globals = tuple(r.shape[0] for r in init_refs)
 
     has_mvset = "mv_table" in stacked
     has_sideband = "mult" in stacked["y"]
@@ -130,16 +188,15 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
             d["flags"] = P(None, axis_name, None)
         return d
 
-    top_spec = dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),
-                    is_p=P(None))
+    top_spec = {k: comp_spec() for k in comp_keys}
+    top_spec["is_p"] = P(None)
     if has_mvset:
         top_spec["mv_table"] = P(None, None, None)   # replicated
         if "mv_count" in stacked:
             top_spec["mv_count"] = P(None)
-    in_specs = (top_spec,
-                (P(axis_name, None), P(axis_name, None), P(axis_name, None)))
-    out_specs = ((P(None, axis_name, None),) * 3,
-                 (P(axis_name, None),) * 3)
+    in_specs = (top_spec, (P(axis_name, None),) * n_comps)
+    out_specs = ((P(None, axis_name, None),) * n_comps,
+                 (P(axis_name, None),) * n_comps)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -171,8 +228,11 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
     multi-host pod runs: GOPs across hosts (DCN-distributed manifest),
     rows across each host's chips (ICI halo exchange).
     """
-    h_globals = (init_refs[0].shape[1], init_refs[1].shape[1],
-                 init_refs[2].shape[1])
+    from ..kernels.decode import frame_comp_keys
+
+    comp_keys = frame_comp_keys(batch)
+    n_comps = len(comp_keys)
+    h_globals = tuple(r.shape[1] for r in init_refs)
 
     has_mvset = "mv_table" in batch
     has_sideband = "mult" in batch["y"]
@@ -191,16 +251,16 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
             d["flags"] = P(gop_axis, None, rows_axis, None)
         return d
 
-    top_spec = dict(y=comp_spec(), cb=comp_spec(), cr=comp_spec(),
-                    is_p=P(gop_axis, None))
+    top_spec = {k: comp_spec() for k in comp_keys}
+    top_spec["is_p"] = P(gop_axis, None)
     if has_mvset:
         top_spec["mv_table"] = P(gop_axis, None, None, None)
         if "mv_count" in batch:
             top_spec["mv_count"] = P(gop_axis, None)
     in_specs = (top_spec,
-                (P(gop_axis, rows_axis, None),) * 3)
-    out_specs = ((P(gop_axis, None, rows_axis, None),) * 3,
-                 (P(gop_axis, rows_axis, None),) * 3)
+                (P(gop_axis, rows_axis, None),) * n_comps)
+    out_specs = ((P(gop_axis, None, rows_axis, None),) * n_comps,
+                 (P(gop_axis, rows_axis, None),) * n_comps)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

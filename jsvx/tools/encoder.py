@@ -88,17 +88,28 @@ class _DCState:
         self.reset()
 
     def reset(self):
-        self.y = self.cb = self.cr = 128
+        self.y = self.cb = self.cr = self.a = 128
 
 
 class JsvEncoder:
-    """Encodes YCbCr 4:2:0 frames into a JSV byte stream."""
+    """Encodes YCbCr 4:2:0 frames into a JSV byte stream.
+
+    Frames with a 4th plane (Y, Cb, Cr, A) switch the stream to YUVA
+    mode: the container's alpha flag is set (``decoders/jsv.js:256-259``)
+    and every macroblock carries 4 extra alpha blocks (always coded for
+    intra MBs; gated by 4 alpha-cbp bits after the cbp VLC otherwise —
+    see :class:`jsvx.bitstream.parser.StreamParser`).  An alpha residual
+    in a macroblock whose YCbCr cbp is zero is dropped (the cbp VLC has
+    no zero codeword to hang the alpha pattern on); acceptable for a
+    lossy fixture encoder.
+    """
 
     def __init__(self, width: int, height: int,
                  config: EncoderConfig | None = None):
         self.cfg = config or EncoderConfig()
         self.width = width
         self.height = height
+        self.yuva = False
         self.mb_w = (width + 15) >> 4
         self.mb_h = (height + 15) >> 4
         v = compiled_tables()
@@ -131,6 +142,7 @@ class JsvEncoder:
         rate = float(T.PICTURE_RATE[cfg.rate_code])
         n = len(frames)
         duration = n / rate
+        self.yuva = len(frames[0]) == 4
 
         # Encode GOPs to byte strings first (container offsets need sizes).
         gop_payloads = []
@@ -146,11 +158,12 @@ class JsvEncoder:
         head.put_bits(self.width, 16)
         head.put_bits(self.height, 16)
         d100 = int(round(duration * 100))
-        if 0 < d100 < (1 << 16):
+        if 0 < d100 < (1 << 16) and not self.yuva:
             head.put_bits(d100, 16)
         else:
+            # extended form: zero short-duration field, then yuva flag
             head.put_bits(0, 16)
-            head.put_bits(0, 1)            # yuva flag
+            head.put_bits(1 if self.yuva else 0, 1)
             head.put_bits(d100, 23)
         if cfg.key_map:
             head.put_bits(0x000001C4, 32)  # START_MAP
@@ -230,8 +243,10 @@ class JsvEncoder:
     def _encode_picture(self, frame, temporal_ref: int,
                         is_intra: bool) -> bytes:
         cfg = self.cfg
-        y, cb, cr = (pad_to_coded(p, 16 >> (0 if i == 0 else 1)).astype(
-            np.float64) for i, p in enumerate(frame))
+        y, cb, cr, *rest = (
+            pad_to_coded(p, 16 if i in (0, 3) else 8).astype(np.float64)
+            for i, p in enumerate(frame))
+        a = rest[0] if rest else None
         w = BitWriter()
         w.put_start_code(T.START_PICTURE)
         w.put_bits(temporal_ref & 0x3FF, 10)
@@ -242,16 +257,18 @@ class JsvEncoder:
             w.put_bits(cfg.f_code, 3)
 
         if is_intra:
-            recon = self._encode_intra_picture(w, y, cb, cr)
+            recon = self._encode_intra_picture(w, y, cb, cr, a)
         else:
-            recon = self._encode_p_picture(w, y, cb, cr)
+            recon = self._encode_p_picture(w, y, cb, cr, a)
         self._ref = recon
         w.byte_align()
         return w.getvalue()
 
-    def _encode_intra_picture(self, w: BitWriter, y, cb, cr):
+    def _encode_intra_picture(self, w: BitWriter, y, cb, cr, a=None):
         q = self.cfg.quantizer_scale
         recon = [np.zeros_like(y), np.zeros_like(cb), np.zeros_like(cr)]
+        if a is not None:
+            recon.append(np.zeros_like(a))
         for row in range(self.mb_h):
             self._begin_slice(w, row, q)
             dc = _DCState()
@@ -259,15 +276,15 @@ class JsvEncoder:
                 w.put_code(self._t_addr, 1)
                 w.put_code(self._t_type_i, 0x01)
                 self._encode_mb_blocks_intra(w, y, cb, cr, row, col, q, dc,
-                                             recon)
+                                             recon, a)
         return recon
 
-    def _encode_p_picture(self, w: BitWriter, y, cb, cr):
+    def _encode_p_picture(self, w: BitWriter, y, cb, cr, a=None):
         cfg = self.cfg
         q = cfg.quantizer_scale
         ref = self._ref
         assert ref is not None, "P picture without a reference frame"
-        recon = [ref[0].copy(), ref[1].copy(), ref[2].copy()]
+        recon = [r.copy() for r in ref]
         mvs = self._motion_search(y, ref[0])
         half_range = (16 << (cfg.f_code - 1)) - 1
 
@@ -308,7 +325,7 @@ class JsvEncoder:
                     pending_skip = flush(pending_skip)
                     w.put_code(self._t_type_p, 0x01)
                     self._encode_mb_blocks_intra(w, y, cb, cr, row, col, q,
-                                                 dc, recon)
+                                                 dc, recon, a)
                     mv_pred[:] = 0          # intra MBs reset MV predictors
                     continue
 
@@ -327,12 +344,31 @@ class JsvEncoder:
                     if np.any(lv):
                         cbp |= 0x20 >> bi
 
+                acbp = 0
+                levels_a = None
+                if a is not None:
+                    amb = a[row * 16:row * 16 + 16, col * 16:col * 16 + 16]
+                    pred_a = _mc_luma(ref[3], row, col, mv_t)
+                    res_a = blocks_of(amb - pred_a)
+                    levels_a = [self._quant_inter(
+                        fdct2(res_a[ai >> 1, ai & 1]), q) for ai in range(4)]
+                    if cbp:                 # alpha pattern rides the cbp VLC
+                        for ai, lv in enumerate(levels_a):
+                            if np.any(lv):
+                                acbp |= 0x8 >> ai
+                    coded_a = [levels_a[ai] if acbp & (0x8 >> ai)
+                               else np.zeros((8, 8)) for ai in range(4)]
+                else:
+                    coded_a = None
+
                 can_skip = (cfg.use_skips and cbp == 0 and mv_t == (0, 0)
                             and col != 0 and col != self.mb_w - 1)
                 if can_skip:
                     pending_skip += 1
                     self._reconstruct_inter(recon, row, col, mv_t,
-                                            [np.zeros((8, 8))] * 6, q)
+                                            [np.zeros((8, 8))] * 6, q,
+                                            [np.zeros((8, 8))] * 4
+                                            if a is not None else None)
                     continue
 
                 pending_skip = flush(pending_skip)
@@ -341,11 +377,18 @@ class JsvEncoder:
                 self._encode_motion(w, mv_t, mv_pred)
                 if cbp:
                     w.put_code(self._t_cbp, cbp)
+                    if a is not None:
+                        w.put_bits(acbp, 4)
                     for bi, lv in enumerate(levels):
                         if cbp & (0x20 >> bi):
                             self._encode_block_rl(w, lv, first_is_dc=True)
+                    for ai in range(4):
+                        if acbp & (0x8 >> ai):
+                            self._encode_block_rl(w, levels_a[ai],
+                                                  first_is_dc=True)
                 dc.reset()                  # non-intra MBs reset DC predictors
-                self._reconstruct_inter(recon, row, col, mv_t, levels, q)
+                self._reconstruct_inter(recon, row, col, mv_t, levels, q,
+                                        coded_a)
         return recon
 
     # ------------------------------------------------------------------
@@ -387,12 +430,18 @@ class JsvEncoder:
             mv_pred[axis] = mv[axis]
 
     def _encode_mb_blocks_intra(self, w: BitWriter, y, cb, cr, row, col,
-                                q: int, dc: _DCState, recon) -> None:
+                                q: int, dc: _DCState, recon,
+                                a=None) -> None:
         ys = y[row * 16:row * 16 + 16, col * 16:col * 16 + 16]
         yb = blocks_of(ys)
         order = [(0, yb[0, 0]), (1, yb[0, 1]), (2, yb[1, 0]), (3, yb[1, 1]),
                  (4, cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8]),
                  (5, cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8])]
+        if a is not None:                  # YUVA: 4 alpha blocks 6..9
+            ab = blocks_of(a[row * 16:row * 16 + 16,
+                             col * 16:col * 16 + 16])
+            order += [(6, ab[0, 0]), (7, ab[0, 1]),
+                      (8, ab[1, 0]), (9, ab[1, 1])]
         for bi, block in order:
             d = fdct2(block)
             lv = self._quant_intra(d, q)
@@ -403,10 +452,12 @@ class JsvEncoder:
             deq = refmath.dequant_intra(lv, q, self.intra_q)
             deq[0, 0] = 8.0 * dc_val
             pix = np.clip(np.round(_C @ deq @ _C.T), 0, 255)
-            if bi < 4:
-                r0 = row * 16 + (8 if bi & 2 else 0)
-                c0 = col * 16 + (8 if bi & 1 else 0)
-                recon[0][r0:r0 + 8, c0:c0 + 8] = pix
+            if bi < 4 or bi >= 6:
+                comp = 0 if bi < 4 else 3
+                b = bi if bi < 4 else bi - 6
+                r0 = row * 16 + (8 if b & 2 else 0)
+                c0 = col * 16 + (8 if b & 1 else 0)
+                recon[comp][r0:r0 + 8, c0:c0 + 8] = pix
             else:
                 comp = 1 if bi == 4 else 2
                 recon[comp][row * 8:row * 8 + 8, col * 8:col * 8 + 8] = pix
@@ -415,6 +466,8 @@ class JsvEncoder:
                    dc: _DCState) -> None:
         if block < 4:
             pred, table = dc.y, self._t_dc_lum
+        elif block >= 6:                   # alpha: own pred, lum table
+            pred, table = dc.a, self._t_dc_lum
         elif block == 4:
             pred, table = dc.cb, self._t_dc_chrom
         else:
@@ -427,6 +480,8 @@ class JsvEncoder:
             w.put_bits(v, size)
         if block < 4:
             dc.y = dc_val
+        elif block >= 6:
+            dc.a = dc_val
         elif block == 4:
             dc.cb = dc_val
         else:
@@ -529,7 +584,8 @@ class JsvEncoder:
                     best_mv[r, c] = pick
         return best_mv
 
-    def _reconstruct_inter(self, recon, row, col, mv, levels, q) -> None:
+    def _reconstruct_inter(self, recon, row, col, mv, levels, q,
+                           levels_a=None) -> None:
         pred_y = _mc_luma(self._ref[0], row, col, mv)
         pred_cb = _mc_chroma(self._ref[1], row, col, mv)
         pred_cr = _mc_chroma(self._ref[2], row, col, mv)
@@ -549,6 +605,16 @@ class JsvEncoder:
             np.round(pred_cb + res[4]), 0, 255)
         recon[2][row * 8:row * 8 + 8, col * 8:col * 8 + 8] = np.clip(
             np.round(pred_cr + res[5]), 0, 255)
+        if levels_a is not None:
+            pred_a = _mc_luma(self._ref[3], row, col, mv)
+            amb = np.zeros((16, 16))
+            for ai in range(4):
+                r0, c0 = 8 * (ai >> 1), 8 * (ai & 1)
+                amb[r0:r0 + 8, c0:c0 + 8] = refmath.idct2(
+                    refmath.dequant_inter(levels_a[ai], q,
+                                          self.non_intra_q))
+            recon[3][row * 16:row * 16 + 16, col * 16:col * 16 + 16] = (
+                np.clip(np.round(pred_a + amb), 0, 255))
 
 
 def encode_frames(frames, width: int | None = None, height: int | None = None,

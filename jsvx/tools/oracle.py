@@ -23,14 +23,17 @@ from . import refmath
 
 @dataclass
 class DecodedFrame:
-    planes: tuple[np.ndarray, np.ndarray, np.ndarray]  # uint8 Y, Cb, Cr
+    planes: tuple                # uint8 (Y, Cb, Cr) or (Y, Cb, Cr, A)
     picture_type: int
     gop_time_ms: float
 
 
 def _expand_mb_to_blocks(arr: np.ndarray, comp: int) -> np.ndarray:
-    """Per-MB array (mbH, mbW) -> per-block array matching plane blocks."""
-    if comp == 0:
+    """Per-MB array (mbH, mbW) -> per-block array matching plane blocks.
+
+    Components 0 (luma) and 3 (YUVA alpha) are full resolution: 2x2
+    blocks per macroblock."""
+    if comp in (0, 3):
         return np.repeat(np.repeat(arr, 2, axis=0), 2, axis=1)
     return arr
 
@@ -92,16 +95,18 @@ def idct_plane(d: np.ndarray) -> np.ndarray:
 
 
 def predict_plane(ref: np.ndarray, ft: FrameTensors, comp: int) -> np.ndarray:
-    """Motion-compensated prediction of a full plane from ``ref``."""
+    """Motion-compensated prediction of a full plane from ``ref``.
+
+    Luma (0) and YUVA alpha (3) use the full-resolution luma vectors;
+    chroma halves them (trunc toward zero)."""
     mb_h, mb_w = ft.mb_mv.shape[:2]
-    size = 16 if comp == 0 else 8
     out = np.zeros_like(ref, dtype=np.float64)
     for r in range(mb_h):
         for c in range(mb_w):
             if ft.mb_rep_add[r, c]:
                 continue                    # intra MB in P: zero prediction
             mv = ft.mb_mv[r, c]
-            if comp == 0:
+            if comp in (0, 3):
                 out[r * 16:(r + 1) * 16, c * 16:(c + 1) * 16] = (
                     refmath.mc_luma_block(ref, r, c, mv))
             else:
@@ -113,9 +118,9 @@ def predict_plane(ref: np.ndarray, ft: FrameTensors, comp: int) -> np.ndarray:
 def reconstruct_frame(ft: FrameTensors, seq: SequenceInfo,
                       ref: tuple | None,
                       quirk_oddify_zeros: bool = False) -> tuple:
-    """FrameTensors -> (Y, Cb, Cr) uint8 planes, float64 math."""
+    """FrameTensors -> (Y, Cb, Cr[, A]) uint8 planes, float64 math."""
     planes = []
-    for comp in range(3):
+    for comp in range(ft.n_comps):
         d = dequant_plane(ft, seq, comp, quirk_oddify_zeros)
         res = idct_plane(d)
         if ft.is_intra_picture:
@@ -137,7 +142,7 @@ class OracleDecoder:
         self.reader = BitReader(self.data)
         self.meta = parse_container_header(self.reader)
         self.index = StartCodeIndex.scan(self.data)
-        self.parser = StreamParser()
+        self.parser = StreamParser(yuva=self.meta.yuva)
         self._ref: tuple | None = None
 
     def frames(self):
@@ -212,7 +217,7 @@ def reconstruct_frame_intsim(ft: FrameTensors, seq: SequenceInfo,
     0.4x pass-1 packing scale and truncating descale — the baseline whose
     oracle-PSNR the TPU kernels must meet or beat."""
     planes = []
-    for comp in range(3):
+    for comp in range(ft.n_comps):
         d = dequant_plane(ft, seq, comp, quirk_oddify_zeros=True)
         h, w = d.shape
         # premultiplier (uint8 AAN prescale), except the intra-DC override

@@ -69,6 +69,25 @@ def synthetic_frames(n_frames: int, height: int, width: int,
     return frames
 
 
+def synthetic_frames_yuva(n_frames: int, height: int, width: int,
+                          seed: int = 7):
+    """YUVA clip: the synthetic YCbCr frames plus a moving alpha plane."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    out = []
+    for t, (y, cb, cr) in enumerate(
+            synthetic_frames(n_frames, height, width, seed)):
+        a = np.clip(128 + 80 * np.sin(2 * np.pi * (xx + 5 * t) / width)
+                    + 40 * (yy > 4 * t), 0, 255).astype(np.uint8)
+        out.append((y, cb, cr, a))
+    return out
+
+
+@pytest.fixture(scope="session")
+def tiny_clip_yuva():
+    """5 frames of 48x64 YUVA video."""
+    return synthetic_frames_yuva(5, 48, 64)
+
+
 @pytest.fixture(scope="session")
 def tiny_clip():
     """6 frames of 48x64 video (3x4 macroblocks)."""
