@@ -150,7 +150,8 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
         mv_count = np.int32(len(uniq))
         mv_idx = inv.reshape(ft.mb_mv.shape[:2]).astype(np.int32)
 
-    out = dict(is_p=np.int32(0 if ft.is_intra_picture else 1))
+    out = dict(is_p=np.int32(0 if ft.is_intra_picture else 1),
+               f_code=np.int32(ft.f_code))
     for comp in range(len(ft.levels)):
         c = dict(
             levels=ft.levels[comp].astype(dtype_levels),

@@ -123,7 +123,12 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
         halo = halo_y // 2 if comp_is_chroma(comp) else halo_y
         local_ref = refs[comp]
         h_local = local_ref.shape[0]
-        ext = exchange_row_halo(local_ref, halo, axis_name)
+        if halo < h_local:
+            ext = exchange_row_halo(local_ref, halo, axis_name)
+        else:
+            # motion range exceeds the neighbour shard: all-gather the
+            # reference plane instead (bit-identical, more ICI traffic)
+            ext = gather_row_halo(local_ref, halo, axis_name)
         if use_mvset:
             from ..kernels.decode import (dequant_plane, idct_plane,
                                           predict_plane_mvset)
@@ -154,9 +159,10 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
 
 def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
                             consts: DecodeConstants, mesh: Mesh,
-                            axis_name: str = "rows", halo_y: int = 64,
+                            axis_name: str = "rows",
+                            halo_y: int | None = None,
                             quirk_oddify_zeros: bool = False,
-                            mc_impl: str = "gather"):
+                            mc_impl: str = "mvset"):
     """Decode a stacked GOP with every plane row-sharded over ``axis_name``.
 
     ``stacked`` as produced by :func:`jsvx.pipeline.gop.stack_device_frames`
@@ -164,7 +170,16 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
     axis, the scan carry (reference planes) stays sharded, and each P frame
     performs one halo exchange per plane.  Returns (stacked planes, final
     refs) with the same shardings.
+
+    ``halo_y=None`` (default) derives the halo from the GOP's recorded
+    f_code (:func:`derive_halo_y`); when it reaches the local shard
+    height the per-frame exchange transparently becomes an all-gather of
+    the reference planes (:func:`gather_row_halo`).
     """
+    if halo_y is None:
+        halo_y = derive_halo_y(stacked)
+    if mc_impl == "mvset" and "mv_table" in stacked:
+        assert halo_y % 16 == 0, "mvset MC needs halo_y a multiple of 16"
     from ..kernels.decode import frame_comp_keys
 
     comp_keys = frame_comp_keys(stacked)
@@ -190,6 +205,8 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
 
     top_spec = {k: comp_spec() for k in comp_keys}
     top_spec["is_p"] = P(None)
+    if "f_code" in stacked:
+        top_spec["f_code"] = P(None)
     if has_mvset:
         top_spec["mv_table"] = P(None, None, None)   # replicated
         if "mv_count" in stacked:
@@ -217,9 +234,9 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
 def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
                            consts: DecodeConstants, mesh: Mesh,
                            gop_axis: str = "gop", rows_axis: str = "rows",
-                           halo_y: int = 64,
+                           halo_y: int | None = None,
                            quirk_oddify_zeros: bool = False,
-                           mc_impl: str = "gather"):
+                           mc_impl: str = "mvset"):
     """The full two-axis step: GOP batch data-parallel over ``gop_axis``
     (DP) x slice-rows over ``rows_axis`` (SP) with per-frame halo exchange.
 
@@ -228,6 +245,10 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
     multi-host pod runs: GOPs across hosts (DCN-distributed manifest),
     rows across each host's chips (ICI halo exchange).
     """
+    if halo_y is None:
+        halo_y = derive_halo_y(batch)
+    if mc_impl == "mvset" and "mv_table" in batch:
+        assert halo_y % 16 == 0, "mvset MC needs halo_y a multiple of 16"
     from ..kernels.decode import frame_comp_keys
 
     comp_keys = frame_comp_keys(batch)
@@ -253,6 +274,8 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
 
     top_spec = {k: comp_spec() for k in comp_keys}
     top_spec["is_p"] = P(gop_axis, None)
+    if "f_code" in batch:
+        top_spec["f_code"] = P(gop_axis, None)
     if has_mvset:
         top_spec["mv_table"] = P(gop_axis, None, None, None)
         if "mv_count" in batch:

@@ -153,6 +153,48 @@ def test_two_axis_mesh_gop_and_rows(tall_stream):
             assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_derived_halo_and_allgather_fallback():
+    """f_code=3 motion large enough to corrupt under halo_y=16 decodes
+    bit-exactly via the automatic f_code-derived halo, which exceeds the
+    local shard height and engages the all-gather fallback."""
+    from jsvx.kernels.decode import mv_bucket
+    from jsvx.shard.slice_rows import derive_halo_y, halo_for_f_code
+
+    clip = synthetic_frames(3, 128, 64, seed=23)
+    # big vertical shifts between frames -> large real MVs
+    rolled = [tuple(np.roll(p, 20 * t, axis=0) for p in f)
+              for t, f in enumerate(clip)]
+    data = JsvEncoder(64, 128, EncoderConfig(
+        gop_size=3, quantizer_scale=4, me_range=24, f_code=3)).encode(rolled)
+    fts, seq = _parse_stream(data)
+    assert max(ft.f_code for ft in fts) == 3
+    # full-pel vertical displacement beyond a 16-row halo
+    assert max(abs(int(v)) >> 1 for ft in fts
+               for v in ft.mb_mv.reshape(-1)) > 16
+    cap = mv_bucket(max(
+        len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1 for ft in fts))
+    consts = make_constants(seq)
+    stacked = stack_device_frames(
+        [frame_to_device(ft, mv_capacity=cap) for ft in fts])
+    refs0 = zero_refs(seq.coded_height, seq.coded_width)
+    single, _ = decode_gop_scan(stacked, refs0, consts, mc_impl="mvset")
+
+    assert derive_halo_y(stacked) == halo_for_f_code(3) == 48
+    mesh = build_mesh({"rows": 4})           # h_local = 32 < halo 48
+    for mc in ("mvset", "gather"):
+        sharded, _ = decode_gop_rows_sharded(
+            stacked, refs0, consts, mesh, mc_impl=mc)   # halo derived
+        for a, b in zip(single, sharded):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), mc
+
+    # an under-sized explicit halo really does corrupt this stream
+    # (the scenario automatic derivation protects against)
+    bad, _ = decode_gop_rows_sharded(
+        stacked, refs0, consts, mesh, halo_y=16, mc_impl="mvset")
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(single, bad))
+
+
 def test_slice_row_sharded_mvset_mc(tall_stream):
     """Fast mvset MC on halo-extended shards == single-device decode."""
     from jsvx.kernels.decode import mv_bucket
