@@ -39,6 +39,60 @@ def build_gop(mb_h: int, mb_w: int, n_frames: int, seed: int = 0):
     return jax.tree.map(lambda *xs: np.stack(xs), *frames)
 
 
+def bench_end_to_end() -> dict:
+    """Full product path at 1080p: real encoded stream -> packed parallel
+    host parse -> device GOP scan (VERDICT r1 #1: measure the product,
+    not just the device stage)."""
+    import os
+    import tempfile
+
+    from jsvx.pipeline.transcode import transcode
+
+    fix = os.path.join(tempfile.gettempdir(), "jsvx_bench_1080p_v2.jsv")
+    if not os.path.exists(fix):
+        from jsvx.tools.encoder import EncoderConfig, JsvEncoder
+
+        h, w = 1088, 1920
+        rng = np.random.default_rng(3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = []
+        for t in range(8):
+            y = np.clip(110 + 70 * np.sin(2 * np.pi * (xx + 5 * t) / w)
+                        + 30 * np.cos(2 * np.pi * (yy + 3 * t) / 64)
+                        + rng.normal(0, 5, (h, w)), 0, 255)
+            cb = np.clip(128 + 30 * np.sin(2 * np.pi * xx[::2, ::2] / w),
+                         0, 255)
+            cr = np.clip(128 + 30 * np.cos(2 * np.pi * yy[::2, ::2] / h),
+                         0, 255)
+            frames.append(tuple(p.astype(np.uint8) for p in (y, cb, cr)))
+        data = JsvEncoder(w, h, EncoderConfig(
+            gop_size=4, quantizer_scale=6, me_range=2,
+            half_pel_refine=False)).encode(frames)
+        tmp = fix + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, fix)
+    data = open(fix, "rb").read()
+
+    res = transcode(data)                  # warm + compile
+    best = float("inf")
+    trials = {}
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = transcode(data)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best = dt
+            trials = {k: round(v["total_s"], 4)
+                      for k, v in res.metrics.timers.report().items()}
+    return {
+        "end_to_end_1080p_frames_per_s": round(res.n_frames / best, 2),
+        "stage_seconds": trials,
+        "stream_bytes": len(data),
+        "n_frames": res.n_frames,
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -91,12 +145,20 @@ def main() -> None:
         best = min(best, max(dt, 1e-9))
 
     fps = n_frames / best
-    print(json.dumps({
+    try:
+        e2e = bench_end_to_end()
+    except Exception as e:                 # never lose the device metric
+        e2e = {"end_to_end_error": repr(e)[:200]}
+    host_cores = __import__("os").cpu_count()
+    out = {
         "metric": "1080p_device_decode_frames_per_s_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 300.0, 3),
-    }))
+        "host_cores": host_cores,
+    }
+    out.update(e2e)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -92,6 +92,7 @@ class NullAudioClock:
 
     current_time = 0.0
     playing = False
+    follows_video = True          # sync snaps it instead of pausing sides
 
     def play(self):
         self.playing = True
@@ -101,6 +102,53 @@ class NullAudioClock:
 
     def seek(self, t: float):
         self.current_time = t
+
+
+class WallClockAudio:
+    """Concrete audio companion: a PCM-payload-backed clock advancing
+    with wall time while playing.
+
+    The reference delegates actual audio RENDERING to the browser's
+    ``<audio>`` element and only steers its clock
+    (``easybits.player.js:2326-2368``); the framework contract is the
+    same — this clock is what ``_check_av_sync`` pauses/seeks.  The
+    payload (fetched via ``config.audio_map``) defines the duration at a
+    declared byte rate; a ``time_fn`` injection makes it testable.
+    """
+
+    def __init__(self, data: bytes = b"", bytes_per_sec: int = 32000,
+                 time_fn=None):
+        self._time = time_fn or _time.monotonic
+        self.data = bytes(data)
+        self.duration = (len(self.data) / float(bytes_per_sec)
+                         if self.data else float("inf"))
+        self._pos = 0.0
+        self._anchor: float | None = None
+
+    @property
+    def playing(self) -> bool:
+        return self._anchor is not None
+
+    @property
+    def current_time(self) -> float:
+        t = self._pos
+        if self._anchor is not None:
+            t += self._time() - self._anchor
+        return min(t, self.duration)
+
+    def play(self):
+        if self._anchor is None:
+            self._anchor = self._time()
+
+    def pause(self):
+        if self._anchor is not None:
+            self._pos = self.current_time
+            self._anchor = None
+
+    def seek(self, t: float):
+        playing = self.playing
+        self._pos = min(max(float(t), 0.0), self.duration)
+        self._anchor = self._time() if playing else None
 
 
 class Player(EventDispatcher):
@@ -144,6 +192,7 @@ class Player(EventDispatcher):
         self._stalled_byte: int | None = None
         self._next_frame_due_ms: float | None = None
         self._last_sync_check = 0.0
+        self._av_hold: str | None = None   # "audio" | "video" pause-ahead
         self._thread = None
         self._thread_stop = threading.Event()
         self._frame_sink = None
@@ -211,7 +260,37 @@ class Player(EventDispatcher):
         except Exception as e:
             self._fail(MediaError.MEDIA_ERR_SRC_NOT_SUPPORTED, str(e))
             return
+        self._load_audio()
         self._request_range(0)
+
+    def _load_audio(self) -> None:
+        """Fetch the companion audio payload resolved via config.audio_map
+        and install a WallClockAudio over it (only when the caller did not
+        supply an audio clock of their own)."""
+        url = self.audio_src
+        if not url or not isinstance(self.audio, NullAudioClock):
+            return
+        try:
+            src = source_for(url)
+        except Exception:
+            return                           # no audio is not an error
+        chunks: list[bytes] = []
+
+        def on_data(start, data, total):
+            chunks.append(data)
+
+        def on_complete():
+            with self._lock:
+                was_playing = self.audio.playing
+                t = self.audio.current_time
+                clock = WallClockAudio(b"".join(chunks))
+                clock.seek(t)
+                if was_playing:
+                    clock.play()
+                self.audio = clock
+                self.emit("audioloaded")
+
+        src.request(0, None, on_data, on_complete=on_complete)
 
     def _reset_for_source(self) -> None:
         self._cancel_request()
@@ -448,13 +527,33 @@ class Player(EventDispatcher):
     def default_playback_rate(self, v: float) -> None:
         self._default_playback_rate = float(v)
 
+    def _byte_to_time(self, byte: int) -> float:
+        """byte offset -> stream seconds.
+
+        VBR-correct when the container ships a GOP key map: its
+        (byte offset, timecode) pairs form a piecewise-linear byte<->time
+        index (the reference records equivalent per-range metadata at
+        chunk ingest, easybits.player.js:2101-2156).  Falls back to the
+        whole-stream average rate otherwise."""
+        d = self.decoder
+        km = d.meta.key_map if d and d.meta else None
+        if km is not None and km.count > 0:
+            rate = (d.sequence.picture_rate if d.sequence else 30.0)
+            offs = km.offsets.astype(np.float64)
+            times = np.array([km.time_of(i, rate)
+                              for i in range(km.count)])
+            total = float(d.buffer.total_length or offs[-1])
+            offs = np.append(offs, total)
+            times = np.append(times, d.meta.duration)
+            return float(np.interp(byte, offs, times))
+        return byte / self._bytes_per_sec()
+
     @property
     def buffered(self) -> TimeRanges:
         d = self.decoder
         if d is None or d.meta is None or not d.buffer.total_length:
             return TimeRanges()
-        bps = self._bytes_per_sec()
-        return TimeRanges([(s / bps, (e + 1) / bps)
+        return TimeRanges([(self._byte_to_time(s), self._byte_to_time(e + 1))
                            for s, e in d.buffer.byte_ranges()])
 
     @property
@@ -511,14 +610,20 @@ class Player(EventDispatcher):
             if self._next_frame_due_ms is None:
                 self._next_frame_due_ms = now_ms
             frame_ms = self._frame_duration_ms() / self._playback_rate
-            while now_ms >= self._next_frame_due_ms:
-                if not self._display_one_frame():
-                    return
-                behind = now_ms - self._next_frame_due_ms
-                if self.config.skip_hard and behind > 2 * frame_ms:
-                    self._next_frame_due_ms = now_ms + frame_ms
-                else:
-                    self._next_frame_due_ms += frame_ms
+            if self._av_hold == "video":
+                # video is ahead of audio: hold the render clock until a
+                # sync check releases it (reference pauses the ahead side,
+                # easybits.player.js:2326-2368)
+                self._next_frame_due_ms = now_ms
+            else:
+                while now_ms >= self._next_frame_due_ms:
+                    if not self._display_one_frame():
+                        return
+                    behind = now_ms - self._next_frame_due_ms
+                    if self.config.skip_hard and behind > 2 * frame_ms:
+                        self._next_frame_due_ms = now_ms + frame_ms
+                    else:
+                        self._next_frame_due_ms += frame_ms
             if now_ms - self._last_sync_check >= \
                     self.config.sync_interval_ms:
                 self._last_sync_check = now_ms
@@ -593,13 +698,41 @@ class Player(EventDispatcher):
     # A/V sync (checkAVSync analog)
 
     def _check_av_sync(self) -> None:
+        """checkAVSync analog (easybits.player.js:2326-2368): past the
+        +/-300 ms window, pause WHICHEVER side is ahead until the other
+        catches up; the held side resumes at a later sync check.
+        Follow-video clocks (NullAudioClock) are snapped instead."""
         a = self.audio
-        if not getattr(a, "playing", False):
+        if getattr(a, "follows_video", False):
+            if not a.playing:
+                return
+            drift_ms = abs((a.current_time + self.config.audio_shift_sec)
+                           * 1000.0 - self._current_time_ms)
+            if drift_ms > self.config.av_sync_limit_ms:
+                a.seek(self.current_time - self.config.audio_shift_sec)
+                self.emit("avsync", drift_ms)
             return
-        drift_ms = abs((a.current_time + self.config.audio_shift_sec)
-                       * 1000.0 - self._current_time_ms)
+
+        audio_ms = (a.current_time + self.config.audio_shift_sec) * 1000.0
+        drift_ms = audio_ms - self._current_time_ms   # > 0: audio ahead
+        if self._av_hold == "audio":
+            if drift_ms <= 0:              # video caught up: resume audio
+                self._av_hold = None
+                if not self._paused:
+                    a.play()
+            return
+        if self._av_hold == "video":
+            if drift_ms >= 0:              # audio caught up: release video
+                self._av_hold = None
+            return
+        if self._paused or not getattr(a, "playing", False):
+            return
         if drift_ms > self.config.av_sync_limit_ms:
-            a.seek(self.current_time - self.config.audio_shift_sec)
+            a.pause()                      # audio ahead: pause audio
+            self._av_hold = "audio"
+            self.emit("avsync", drift_ms)
+        elif drift_ms < -self.config.av_sync_limit_ms:
+            self._av_hold = "video"        # video ahead: hold the clock
             self.emit("avsync", drift_ms)
 
     # ------------------------------------------------------------------
@@ -650,9 +783,12 @@ class Player(EventDispatcher):
 
     def _finish_seek(self, target_ms: float, resume: bool) -> None:
         self._seeking = False
+        self._av_hold = None
         self._current_time_ms = self.decoder.current_time_ms
         self._next_frame_due_ms = None
-        self.audio.seek(self.current_time)
+        # syncMedia analog: drive the audio clock onto the video clock
+        # (<= 0.1 s precision, features/syncmedia.js:18-59)
+        self.audio.seek(self.current_time - self.config.audio_shift_sec)
         self._fill_queue()
         self.emit("timeupdate")
         self.emit("seeked")

@@ -131,8 +131,10 @@ def find_start_codes(data: bytes | np.ndarray,
         data, np.ndarray) else data
     if len(buf) < 4:
         return np.empty((0, 2), dtype=np.int64)
-    hits = np.flatnonzero(
-        (buf[:-3] == 0) & (buf[1:-2] == 0) & (buf[2:-1] == 1))
+    # scan for the rare byte (0x01) first, then verify the 00 00 prefix
+    # on the few candidates — one full-width pass instead of three
+    ones = np.flatnonzero(buf[2:-1] == 1)
+    hits = ones[(buf[ones] == 0) & (buf[ones + 1] == 0)]
     codes = buf[hits + 3]
     return np.stack([hits.astype(np.int64) + base,
                      codes.astype(np.int64)], axis=1)

@@ -40,7 +40,7 @@ def _build() -> bool:
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
              "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120)
         return True
@@ -71,6 +71,7 @@ def _load():
             i16p, i16p, i16p, i16p, u8p, u8p, u8p, u8p,
             u8p, u8p, i16p, u8p,
             u8p, u8p, i16p, i16p, i16p, i16p, u8p, u8p, u8p, u8p,
+            ctypes.c_int32,
         ]
         _lib = lib
         return _lib
@@ -118,14 +119,16 @@ class NativeStreamParser:
 
     def parse_picture_slices(self, data: np.ndarray, start_bit: int,
                              ft, mb_w: int, mb_h: int,
-                             seq=None) -> int:
+                             seq=None, n_threads: int = 1) -> int:
         """Parse all slices of one picture into ``ft`` (FrameTensors).
 
         ``data`` is the full stream as a contiguous uint8 array;
         ``start_bit`` the absolute bit position just after the picture
         header.  With ``seq`` (for its quant matrices) the per-pixel
         dequant sideband (``ft.mult``/``ft.flags``) is emitted in the
-        same pass.  Returns the byte offset of the picture-terminating
+        same pass.  ``n_threads > 1`` fans the picture's slices out over
+        C++ threads (use when pictures are NOT already parsed in
+        parallel).  Returns the byte offset of the picture-terminating
         start code (or len(data)).
         """
         assert data.dtype == np.uint8 and data.flags.c_contiguous
@@ -172,6 +175,7 @@ class NativeStreamParser:
             _as(ft.mb_mv, ctypes.c_int16),
             _as(ft.mb_rep_add, ctypes.c_uint8),
             *extra,
+            int(n_threads),
         )
         del keep
         if rc < 0:

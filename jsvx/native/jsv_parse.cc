@@ -11,21 +11,49 @@
 // VLC lookup tables are passed in from Python at session creation so the
 // code tables live in exactly one place (jsvx/coding/tables.py).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
 
+// Two-level VLC lookup.  A flat 2^max_len table (up to 2^16 for
+// DCT_COEFF) spreads each short code over thousands of slots — every
+// lookup is a cache miss.  Instead: a <=10-bit primary table (4 KB,
+// L1-resident) resolves short codes directly; the few long-code prefixes
+// chain to small secondary tables.  Entries pack (value << 8) | len;
+// len 0 = invalid, len 0xFF = extended (value = secondary base index).
 struct Lut {
-  std::vector<int32_t> value;
-  std::vector<uint8_t> length;
-  int bits = 0;
+  std::vector<uint32_t> prim;
+  std::vector<uint32_t> sub;
+  int bits = 0;     // full code length bound (secondary lookup width)
+  int bits1 = 0;    // primary lookup width
 
   void set(const int32_t* v, const uint8_t* l, int b) {
     bits = b;
-    value.assign(v, v + (size_t(1) << b));
-    length.assign(l, l + (size_t(1) << b));
+    bits1 = b < 10 ? b : 10;
+    int rest = bits - bits1;
+    prim.assign(size_t(1) << bits1, 0);
+    sub.clear();
+    for (size_t p = 0; p < prim.size(); ++p) {
+      size_t base = p << rest;
+      uint8_t len0 = l[base];
+      if (len0 != 0 && len0 <= bits1) {
+        prim[p] = (uint32_t(v[base]) << 8) | len0;
+        continue;
+      }
+      // check whether ANY entry under this prefix is a (long) code
+      bool any = false;
+      for (size_t i = 0; i < (size_t(1) << rest); ++i)
+        if (l[base + i]) { any = true; break; }
+      if (!any) continue;                  // invalid prefix: len 0
+      uint32_t sub_base = (uint32_t)sub.size();
+      for (size_t i = 0; i < (size_t(1) << rest); ++i)
+        sub.push_back((uint32_t(v[base + i]) << 8) | l[base + i]);
+      prim[p] = (sub_base << 8) | 0xFF;
+    }
   }
 };
 
@@ -33,32 +61,46 @@ constexpr int kErrStall = -1;      // ran past end of picture span
 constexpr int kErrBadCode = -2;    // invalid VLC code
 constexpr int kErrOverrun = -3;    // macroblock address out of range
 
+// Bit reader with a cached 64-bit big-endian window: consecutive short
+// reads (the VLC walk averages ~5 bits/symbol) hit the register cache and
+// only reload one aligned 8-byte word when fewer than 57 valid bits
+// remain.  This is the hot structure of the whole host front-end (the
+// analog of the reference's readCode/getBits walk, jsv.js:1593-1599).
 struct BitReader {
   const uint8_t* data;
   int64_t n_bits;
   int64_t pos = 0;
   bool bad = false;
+  uint64_t cache = 0;
+  int64_t cache_pos = INT64_MIN / 2;   // bit pos of cache's first bit
 
   BitReader(const uint8_t* d, int64_t n_bytes)
       : data(d), n_bits(n_bytes * 8) {}
 
-  inline uint64_t peek_word() const {
-    // 57+ bits valid from pos; zero-pad past the end.
+  inline void refill() {
     int64_t byte = pos >> 3;
-    uint64_t w = 0;
-    int64_t avail = (n_bits >> 3) - byte;
-    if (avail >= 8) {
+    uint64_t w;
+    if (byte + 8 <= (n_bits >> 3)) {
       std::memcpy(&w, data + byte, 8);
       w = __builtin_bswap64(w);
     } else {
+      w = 0;
+      int64_t avail = (n_bits >> 3) - byte;
       for (int64_t i = 0; i < avail; ++i)
         w |= uint64_t(data[byte + i]) << (56 - 8 * i);
     }
-    return w << (pos & 7);
+    cache = w;
+    cache_pos = byte << 3;
   }
 
-  inline uint32_t peek(int bits) const {
-    return uint32_t(peek_word() >> (64 - bits));
+  // 57+ bits valid from pos (zero-padded past the end).
+  inline uint64_t window() {
+    if (pos - cache_pos > 7) refill();
+    return cache << (pos - cache_pos);
+  }
+
+  inline uint32_t peek(int bits) {
+    return uint32_t(window() >> (64 - bits));
   }
 
   inline uint32_t get(int bits) {
@@ -70,17 +112,100 @@ struct BitReader {
 
   inline void skip(int bits) { pos += bits; if (pos > n_bits) bad = true; }
 
+  // Decode one code; returns the packed (value<<8)|len entry (0 on a
+  // bad code, with `bad` set) WITHOUT consuming bits.
+  inline uint32_t vlc_entry(const Lut& t) {
+    uint64_t w = window();
+    uint32_t e = t.prim[uint32_t(w >> (64 - t.bits1))];
+    if ((e & 0xFF) == 0xFF) {
+      uint32_t rest = uint32_t(w >> (64 - t.bits))
+                      & ((1u << (t.bits - t.bits1)) - 1);
+      e = t.sub[(e >> 8) + rest];
+    }
+    return e;
+  }
+
   inline int32_t vlc(const Lut& t) {
-    uint32_t p = peek(t.bits);
-    uint8_t len = t.length[p];
-    if (len == 0 || pos + len > n_bits) { bad = true; return 0; }
+    uint32_t e = vlc_entry(t);
+    uint32_t len = e & 0xFF;
+    if (len == 0 || pos + (int64_t)len > n_bits) { bad = true; return 0; }
     pos += len;
-    return t.value[p];
+    return int32_t(e) >> 8;
+  }
+};
+
+// Sign-folded coefficient table: one lookup yields the SIGNED level, the
+// run, the total bit length (code + marker/sign bits), and a flag — so
+// the per-coefficient hot loop has no data-dependent branches (the sign
+// bit and the mid-block '1'-prefix EOB/one disambiguation are baked into
+// the table).  Entry: [7:0] total_len, [13:8] run, [15:14] flag
+// (0 normal / 1 EOB / 2 escape / 3 extended), [31:16] level int16
+// (extended: sub-table base).
+struct CoeffTab {
+  static constexpr int B1 = 11;
+  int bits = 0;                    // original flat-table width (16)
+  std::vector<uint32_t> prim;      // 2^11 * 4 B = 8 KB, L1-resident
+  std::vector<uint32_t> sub;
+
+  static uint32_t pack(int level, int run, int flag, int len) {
+    return (uint32_t(uint16_t(int16_t(level))) << 16)
+           | (uint32_t(flag) << 14) | (uint32_t(run) << 8)
+           | uint32_t(len);
+  }
+
+  void build(const int32_t* v, const uint8_t* l, int b) {
+    bits = b;
+    prim.assign(size_t(1) << B1, 0);
+    sub.clear();
+    const int pad = b - B1;                // flat-index pad bits (5)
+    const int rb = b + 1 - B1;             // sub lookup width (6)
+    for (uint32_t p = 0; p < (1u << B1); ++p) {
+      uint32_t idx = p << pad;
+      uint8_t len = l[idx];
+      int32_t val = v[idx];
+      if (len != 0 && val == 0xFFFF) {     // escape prefix (6 bits)
+        prim[p] = pack(0, 0, 2, len);
+      } else if (len != 0 && val == 0x0001) {
+        // '1' prefix mid-block: marker bit 0 = EOB, 1 = (0,1) + sign
+        uint32_t marker = (p >> (B1 - 1 - len)) & 1;
+        if (!marker) prim[p] = pack(0, 0, 1, len + 1);
+        else {
+          uint32_t sign = (p >> (B1 - 2 - len)) & 1;
+          prim[p] = pack(sign ? -1 : 1, 0, 0, len + 2);
+        }
+      } else if (len != 0 && len <= B1 - 1) {
+        uint32_t sign = (p >> (B1 - 1 - len)) & 1;
+        int lv = val & 0xFF;
+        prim[p] = pack(sign ? -lv : lv, val >> 8, 0, len + 1);
+      } else {
+        // invalid or long code: scan the prefix's flat range
+        bool any = false;
+        for (uint32_t i = 0; i < (1u << pad); ++i)
+          if (l[idx + i]) { any = true; break; }
+        if (!any) { prim[p] = 0; continue; }
+        uint32_t base = (uint32_t)sub.size();
+        for (uint32_t s2 = 0; s2 < (1u << rb); ++s2) {
+          uint64_t idx17 = ((uint64_t)p << rb) | s2;   // b+1 bits
+          uint32_t idx16 = uint32_t(idx17 >> 1);
+          uint8_t ln = l[idx16];
+          int32_t vv = v[idx16];
+          if (ln == 0 || vv == 0xFFFF || vv == 0x0001) {
+            sub.push_back(0);              // cannot be long codes
+            continue;
+          }
+          uint32_t sign = uint32_t(idx17 >> (b - ln)) & 1;
+          int lv = vv & 0xFF;
+          sub.push_back(pack(sign ? -lv : lv, vv >> 8, 0, ln + 1));
+        }
+        prim[p] = (base << 16) | (3u << 14);
+      }
+    }
   }
 };
 
 struct Parser {
   Lut addr, type_i, type_p, cbp, motion, dc_lum, dc_chrom, coeff;
+  CoeffTab coeff2;
   uint8_t zigzag[64];
   uint8_t zigzag_inv[64];   // spatial position -> scan index
 };
@@ -145,10 +270,28 @@ inline int32_t decode_motion_component(BitReader& r, const Parser& p,
 inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
                        PictureOut& o, SliceState& s, int row, int col,
                        int block, bool intra) {
-  int32_t block_data[64];
-  std::memset(block_data, 0, sizeof(block_data));
-  int n = 0;
+  // Resolve the destination block up front; coefficients are scattered
+  // straight into the plane (zeroed first) — no staging buffer, no
+  // 64-value copy per block.
+  int comp, by, bx;
+  int stride;
+  if (block < 4 || block >= 6) {
+    comp = (block < 4) ? 0 : 3;
+    int b = (block < 4) ? block : block - 6;
+    by = row * 2 + ((b & 2) ? 1 : 0);
+    bx = col * 2 + ((b & 1) ? 1 : 0);
+    stride = c.coded_w;
+  } else {
+    comp = (block == 4) ? 1 : 2;
+    by = row;
+    bx = col;
+    stride = c.coded_w >> 1;
+  }
+  int16_t* dst = o.levels[comp] + (int64_t)by * 8 * stride + bx * 8;
+  for (int i = 0; i < 8; ++i)
+    std::memset(dst + (int64_t)i * stride, 0, 16);
 
+  int n = 0;
   if (intra) {
     int32_t predictor, size;
     if (block < 4) {
@@ -169,7 +312,7 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     } else {
       dc = predictor;
     }
-    block_data[0] = dc;
+    dst[0] = (int16_t)dc;
     if (block < 4) s.dc_y = dc;
     else if (block >= 6) s.dc_a = dc;
     else if (block == 4) s.dc_cb = dc;
@@ -177,52 +320,92 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     n = 1;
   }
 
-  for (;;) {
-    if (r.bad) return kErrStall;
+  // First coefficient of a non-intra block (n == 0): the '1' code is
+  // 1 bit + sign with NO end-of-block/marker ambiguity (jsv.js:1405),
+  // so it cannot use the sign-folded table below.  Generic decode:
+  if (!intra) {
     int32_t code = r.vlc(p.coeff);
-    if (r.bad) return kErrBadCode;
-    if (code == 0x0001 && n > 0) {
-      if (r.get(1) == 0) break;  // end_of_block
-    }
-    int32_t run, level;
+    if (r.bad) return kErrStall;
+    int32_t level;
     if (code == 0xFFFF) {        // escape
-      run = int32_t(r.get(6));
+      int32_t run = int32_t(r.get(6));
       level = int32_t(r.get(8));
       if (level == 0) level = int32_t(r.get(8));
       else if (level == 128) level = int32_t(r.get(8)) - 256;
       else if (level > 128) level -= 256;
+      n = run;
     } else {
-      run = code >> 8;
       level = code & 0xFF;
       if (r.get(1)) level = -level;
+      n = code >> 8;
     }
-    n += run;
-    if (n > 63) break;           // corrupt stream guard
-    block_data[p.zigzag[n]] = level;
+    if (r.bad) return kErrStall;
+    if (n <= 63) {
+      uint32_t zz = p.zigzag[n];
+      dst[(zz >> 3) * stride + (zz & 7)] = (int16_t)level;
+    }
     ++n;
   }
 
-  // Place the block and record last-non-zero.
-  int comp, by, bx;
-  int stride;
-  if (block < 4 || block >= 6) {
-    comp = (block < 4) ? 0 : 3;
-    int b = (block < 4) ? block : block - 6;
-    by = row * 2 + ((b & 2) ? 1 : 0);
-    bx = col * 2 + ((b & 1) ? 1 : 0);
-    stride = c.coded_w;
-  } else {
-    comp = (block == 4) ? 1 : 2;
-    by = row;
-    bx = col;
-    stride = c.coded_w >> 1;
+  // Coefficient loop — THE hot loop of the decoder (the analog of
+  // jsv.js:1400-1443).  One sign-folded table hit per coefficient:
+  // signed level, run, and total bit length come from a single 8 KB
+  // L1-resident lookup; only escapes and end-of-block branch out.
+  const CoeffTab& ct = p.coeff2;
+  for (;;) {
+    uint64_t w = r.window();
+    uint32_t e = ct.prim[uint32_t(w >> (64 - CoeffTab::B1))];
+    if ((e & 0xC000u) == 0xC000u) {        // extended: long codes
+      uint32_t rest = uint32_t(w >> (64 - (ct.bits + 1)))
+                      & ((1u << (ct.bits + 1 - CoeffTab::B1)) - 1);
+      e = ct.sub[(e >> 16) + rest];
+    }
+    uint32_t len = e & 0xFF;
+    uint32_t flag = (e >> 14) & 3;
+    r.pos += len;
+    if (r.pos > r.n_bits) return kErrStall;
+    if (flag) {
+      if (flag == 1) break;                // end_of_block ('10')
+      if (len == 0) {
+        if (r.pos >= r.n_bits) return kErrStall;
+        return kErrBadCode;
+      }
+      // escape: 6-bit run + 8/16-bit level from the same window
+      uint32_t run = uint32_t(w >> (58 - len)) & 63;
+      uint32_t lv8 = uint32_t(w >> (50 - len)) & 255;
+      int32_t level;
+      int consumed = 14;
+      if (lv8 == 0) {
+        level = int32_t(uint32_t(w >> (42 - len)) & 255);
+        consumed += 8;
+      } else if (lv8 == 128) {
+        level = int32_t(uint32_t(w >> (42 - len)) & 255) - 256;
+        consumed += 8;
+      } else if (lv8 > 128) {
+        level = int32_t(lv8) - 256;
+      } else {
+        level = int32_t(lv8);
+      }
+      r.pos += consumed;
+      if (r.pos > r.n_bits) return kErrStall;
+      n += (int)run;
+      if (n > 63) break;                   // corrupt stream guard
+      uint32_t zz = p.zigzag[n];
+      dst[(zz >> 3) * stride + (zz & 7)] = (int16_t)level;
+      ++n;
+      continue;
+    }
+    if (len == 0) {
+      if (r.pos >= r.n_bits) return kErrStall;
+      return kErrBadCode;
+    }
+    n += (e >> 8) & 63;                    // run
+    if (n > 63) break;                     // corrupt stream guard
+    uint32_t zz = p.zigzag[n];
+    dst[(zz >> 3) * stride + (zz & 7)] = (int16_t)(int16_t)(e >> 16);
+    ++n;
   }
-  int16_t* dst = o.levels[comp] + (int64_t)by * 8 * stride + bx * 8;
-  for (int i = 0; i < 8; ++i) {
-    for (int j = 0; j < 8; ++j)
-      dst[j] = (int16_t)block_data[i * 8 + j];
-    dst += stride;
-  }
+
   if (o.mult[comp] != nullptr) {
     // emit the per-pixel dequant sideband in the same pass
     const uint8_t* m = intra ? o.intra_q : o.non_intra_q;
@@ -374,6 +557,7 @@ void* jsv_parser_new(
   p->dc_lum.set(dcl_v, dcl_l, dcl_b);
   p->dc_chrom.set(dcc_v, dcc_l, dcc_b);
   p->coeff.set(coef_v, coef_l, coef_b);
+  p->coeff2.build(coef_v, coef_l, coef_b);
   std::memcpy(p->zigzag, zigzag, 64);
   for (int i = 0; i < 64; ++i) p->zigzag_inv[zigzag[i]] = (uint8_t)i;
   return p;
@@ -398,7 +582,9 @@ int64_t jsv_parse_picture_slices(
     const uint8_t* intra_q, const uint8_t* non_intra_q,
     int16_t* mult_y, int16_t* mult_cb, int16_t* mult_cr, int16_t* mult_a,
     uint8_t* flags_y, uint8_t* flags_cb, uint8_t* flags_cr,
-    uint8_t* flags_a) {
+    uint8_t* flags_a,
+    // slice-level fan-out (1 = serial; safe: slices write disjoint rows)
+    int32_t n_threads) {
   Parser& p = *(Parser*)handle;
   PictureCtx c{mb_w, mb_h, mb_w * 16, picture_type, full_pel, f_code, yuva};
   PictureOut o;
@@ -416,39 +602,82 @@ int64_t jsv_parse_picture_slices(
     o.non_intra_q = non_intra_q;
   }
 
+  // Collect the picture's slice spans first (slices are independently
+  // parseable: own start code, own quantiser, per-slice predictor resets
+  // — jsv.js:683-706), then parse them serially or across threads.
+  struct Span { int64_t begin; int64_t end; int code; };
+  std::vector<Span> spans;
   int64_t cursor = (start_bit + 7) >> 3;
+  int64_t picture_end = n_bytes;
   for (;;) {
     int64_t off = find_start(data, n_bytes, cursor);
-    if (off < 0) return n_bytes;             // end of stream = picture end
+    if (off < 0) break;                      // end of stream = picture end
     int code = data[off + 3];
     if (code >= 0x01 && code <= 0xAF) {
-      // Slice: bound by the next start code (or EOF).
-      int64_t next = find_start(data, n_bytes, off + 4);
-      int64_t slice_end = next < 0 ? n_bytes : next;
-      BitReader r(data, n_bytes);
-      r.pos = (off + 4) * 8;
-
-      SliceState s;
-      int32_t mb_address = (code - 1) * mb_w - 1;
-      s.quantizer_scale = int32_t(r.get(5));
-      while (r.get(1)) r.skip(8);            // extra slice information
-
-      bool slice_begin = true;
-      while (((r.pos + 7) >> 3) < slice_end) {
-        int rc = parse_macroblock(r, p, c, o, s, mb_address, slice_begin);
-        slice_begin = false;
-        if (rc == kErrOverrun) break;
-        if (rc < 0) return rc;
-        if (r.bad) return kErrStall;
-        if (mb_address >= mb_w * mb_h) break;
-      }
-      cursor = slice_end;
+      if (!spans.empty() && spans.back().end > off)
+        spans.back().end = off;
+      spans.push_back({off + 4, n_bytes, code});
+      cursor = off + 4;
     } else if (code == 0xB5 || code == 0xB2) {
+      if (!spans.empty() && spans.back().end > off)
+        spans.back().end = off;
       cursor = off + 4;                      // extension / user data
     } else {
-      return off;                            // picture end
+      if (!spans.empty() && spans.back().end > off)
+        spans.back().end = off;
+      picture_end = off;
+      break;
     }
   }
+
+  auto parse_one = [&](const Span& sp) -> int {
+    BitReader r(data, n_bytes);
+    r.pos = sp.begin * 8;
+    SliceState s;
+    int32_t mb_address = (sp.code - 1) * mb_w - 1;
+    s.quantizer_scale = int32_t(r.get(5));
+    while (r.get(1)) r.skip(8);              // extra slice information
+
+    bool slice_begin = true;
+    while (((r.pos + 7) >> 3) < sp.end) {
+      int rc = parse_macroblock(r, p, c, o, s, mb_address, slice_begin);
+      slice_begin = false;
+      if (rc == kErrOverrun) break;
+      if (rc < 0) return rc;
+      if (r.bad) return kErrStall;
+      if (mb_address >= mb_w * mb_h) break;
+    }
+    return 0;
+  };
+
+  if (n_threads > 1 && spans.size() > 1) {
+    // Slices write disjoint plane rows / MB-grid rows, so they fan out
+    // across threads with no synchronisation beyond the error word.
+    int nt = n_threads < (int32_t)spans.size() ? n_threads
+                                               : (int32_t)spans.size();
+    std::atomic<int> rc_word{0};
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= spans.size() || rc_word.load(std::memory_order_relaxed))
+          return;
+        int rc = parse_one(spans[i]);
+        if (rc < 0) rc_word.store(rc);
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    if (int rc = rc_word.load()) return rc;
+  } else {
+    for (const Span& sp : spans) {
+      int rc = parse_one(sp);
+      if (rc < 0) return rc;
+    }
+  }
+  return picture_end;
 }
 
 }  // extern "C"

@@ -45,48 +45,59 @@ def transcode(data: bytes, sink=None, *, impl: str | None = None,
     """
     import jax
 
+    from ..bitstream.native import get_native_parser
+
     metrics = metrics or Metrics()
     if impl is None:
         impl = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
 
+    if get_native_parser() is not None:
+        return _transcode_packed(data, sink, impl=impl, manifest=manifest,
+                                 process_id=process_id,
+                                 process_count=process_count,
+                                 n_parse_threads=n_parse_threads,
+                                 quirk_oddify_zeros=quirk_oddify_zeros,
+                                 metrics=metrics)
+
     with metrics.timers.stage("parse"):
         parsed = parse_stream_parallel(data, n_threads=n_parse_threads)
-    seq = parsed.seq
-    consts = make_constants(seq)
-
-    # group frames into GOPs by the recorded boundaries
+    meta, seq = parsed.meta, parsed.seq
     bounds = parsed.gop_starts or [0]
     if bounds[0] != 0:
         bounds = [0] + bounds
-    groups = [parsed.frames[bounds[i]:
-                            (bounds[i + 1] if i + 1 < len(bounds)
-                             else len(parsed.frames))]
-              for i in range(len(bounds))]
-    groups = [g for g in groups if g]
+    fgroups = [parsed.frames[bounds[i]:
+                             (bounds[i + 1] if i + 1 < len(bounds)
+                              else len(parsed.frames))]
+               for i in range(len(bounds))]
+    fgroups = [g for g in fgroups if g]
+    # one distinct-MV capacity bucket for the whole stream: stable
+    # shapes -> one compiled executable for every GOP
+    cap = 1
+    for ft in parsed.frames:
+        cap = max(cap, len(np.unique(
+            ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
+    cap = mv_bucket(cap)
+    groups = []
+    for g in fgroups:
+        with metrics.timers.stage("pack"):
+            groups.append((jax.tree.map(
+                lambda *xs: np.stack(xs),
+                *[frame_to_device(ft, mv_capacity=cap)
+                  for ft in g]), len(g)))
 
+    consts = make_constants(seq)
     if manifest is None:
         todo = list(range(len(groups)))
     else:
         todo = [s.index for s in manifest.pending(process_id, process_count)
                 if s.index < len(groups)]
 
-    # one distinct-MV capacity bucket for the whole stream: stable
-    # shapes -> one compiled executable for every GOP
-    cap = 1
-    for ft in parsed.frames:
-        cap = max(cap, len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1)
-    cap = mv_bucket(cap)
-
     n_frames = 0
     for gi in todo:
-        group = groups[gi]
-        with metrics.timers.stage("pack"):
-            stacked = jax.tree.map(
-                lambda *xs: np.stack(xs),
-                *[frame_to_device(ft, mv_capacity=cap) for ft in group])
+        stacked, group_len = groups[gi]
         with metrics.timers.stage("device_decode"):
             refs = zero_refs(seq.coded_height, seq.coded_width,
-                             n_comps=parsed.meta.n_components)
+                             n_comps=meta.n_components)
             outs, _ = decode_gop_scan(
                 stacked, refs, consts, quirk_oddify_zeros,
                 mc_impl="mvset" if cap else "gather", impl=impl)
@@ -94,14 +105,92 @@ def transcode(data: bytes, sink=None, *, impl: str | None = None,
         if sink is not None:
             with metrics.timers.stage("sink"):
                 sink(gi, outs)
-        n_frames += len(group)
-        metrics.count("frames", len(group))
+        n_frames += group_len
+        metrics.count("frames", group_len)
         metrics.count("gops")
         if manifest is not None:
-            manifest.mark_done(gi, frames=len(group))
+            manifest.mark_done(gi, frames=group_len)
 
-    metrics.gauge("width", parsed.meta.width)
-    metrics.gauge("height", parsed.meta.height)
+    metrics.gauge("width", meta.width)
+    metrics.gauge("height", meta.height)
     return TranscodeResult(n_frames=n_frames, n_gops=len(todo),
-                           metrics=metrics, width=parsed.meta.width,
-                           height=parsed.meta.height)
+                           metrics=metrics, width=meta.width,
+                           height=meta.height)
+
+
+def _transcode_packed(data: bytes, sink, *, impl: str,
+                      manifest: GopManifest | None, process_id: int,
+                      process_count: int, n_parse_threads: int | None,
+                      quirk_oddify_zeros: bool,
+                      metrics: Metrics) -> TranscodeResult:
+    """Fast path: zero-copy stacked parse pipelined against async device
+    decode — while the device crunches GOP g, the host parses GOP g+1
+    (the batch analog of the reference's 1-frame decode-ahead,
+    ``player/easybits.player.js:2504``); coefficient buffers recycle
+    through a pool once the device step that read them completes.
+    """
+    import jax
+
+    from .packed_parse import (BufferPool, attach_mvset, gop_mv_capacity,
+                               parse_gop_packed, walk_stream)
+
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    with metrics.timers.stage("parse"):
+        meta, seq, groups = walk_stream(data)
+    consts = make_constants(seq)
+    if manifest is None:
+        todo = list(range(len(groups)))
+    else:
+        todo = [s.index for s in manifest.pending(process_id, process_count)
+                if s.index < len(groups)]
+
+    cap = 0          # sticky grow-only distinct-MV bucket (few recompiles)
+
+    def parse_one(gi: int, pool: BufferPool):
+        nonlocal cap
+        with metrics.timers.stage("parse"):
+            g = parse_gop_packed(arr, groups[gi], seq, meta, 0, pool=pool,
+                                 n_threads=n_parse_threads, index=gi)
+            from .packed_parse import _mv_unique
+
+            uniqs = [_mv_unique(ft.mb_mv) for ft in g.fts]
+            cap = max(cap, mv_bucket(
+                max((len(u[0]) + 1 for u in uniqs), default=1)))
+            if cap:
+                attach_mvset(g, cap, seq, meta, uniqs=uniqs)
+            # start the host->device transfer now (async): it overlaps
+            # the next GOP's parse instead of serialising into dispatch
+            g.device_stacked = jax.device_put(g.stacked)
+        return g
+
+    pool = BufferPool()
+    n_frames = 0
+    nxt = parse_one(todo[0], pool) if todo else None
+    for i, gi in enumerate(todo):
+        g = nxt
+        with metrics.timers.stage("device_dispatch"):
+            refs = zero_refs(seq.coded_height, seq.coded_width,
+                             n_comps=meta.n_components)
+            outs, _ = decode_gop_scan(
+                g.device_stacked, refs, consts, quirk_oddify_zeros,
+                mc_impl="mvset" if cap else "gather", impl=impl)
+        # overlap: host parses the next GOP while the device decodes
+        nxt = parse_one(todo[i + 1], pool) if i + 1 < len(todo) else None
+        with metrics.timers.stage("device_wait"):
+            jax.block_until_ready(outs)
+        for buf in g.pooled:
+            pool.release(buf)
+        if sink is not None:
+            with metrics.timers.stage("sink"):
+                sink(gi, outs)
+        n_frames += len(g.fts)
+        metrics.count("frames", len(g.fts))
+        metrics.count("gops")
+        if manifest is not None:
+            manifest.mark_done(gi, frames=len(g.fts))
+
+    metrics.gauge("width", meta.width)
+    metrics.gauge("height", meta.height)
+    return TranscodeResult(n_frames=n_frames, n_gops=len(todo),
+                           metrics=metrics, width=meta.width,
+                           height=meta.height)

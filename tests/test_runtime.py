@@ -54,7 +54,10 @@ def test_transcode_matches_oracle(stream):
             k += 1
     assert k == 9
     stages = res.metrics.timers.report()
-    assert {"parse", "pack", "device_decode", "sink"} <= set(stages)
+    # packed fast path reports dispatch/wait; the fallback path pack/decode
+    assert "parse" in stages and "sink" in stages
+    assert ({"device_dispatch", "device_wait"} <= set(stages)
+            or {"pack", "device_decode"} <= set(stages))
 
 
 def test_manifest_build_and_assignment(stream):
