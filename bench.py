@@ -93,6 +93,79 @@ def bench_end_to_end() -> dict:
     }
 
 
+def bench_device_correctness() -> dict:
+    """On-device correctness gate (VERDICT r1 #5): decode a real encoded
+    stream with the ACTUAL compiled kernels on the current backend and
+    check (a) XLA / two-kernel Pallas / fused Pallas bit-agreement and
+    (b) PSNR vs the float64 oracle >= the reference integer-shader
+    simulation's PSNR (the north-star accuracy bar, BASELINE.md)."""
+    import jax
+
+    from jsvx.kernels.decode import (decode_frame_planes, frame_to_device,
+                                     make_constants, mv_bucket)
+    from jsvx.kernels.pallas_decode import decode_frame_planes_pallas
+    from jsvx.kernels.pallas_fused import decode_frame_planes_fused
+    from jsvx.pipeline.stream import JaxStreamDecoder
+    from jsvx.tools.encoder import EncoderConfig, JsvEncoder
+    from jsvx.tools.oracle import (reconstruct_frame,
+                                   reconstruct_frame_intsim)
+    from jsvx.tools.psnr import psnr
+
+    rng = np.random.default_rng(7)
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(6):
+        y = np.clip(110 + 70 * np.sin(2 * np.pi * (xx + 4 * t) / w)
+                    + rng.normal(0, 6, (h, w)), 0, 255)
+        cb = np.clip(128 + 30 * np.sin(2 * np.pi * xx[::2, ::2] / w), 0, 255)
+        cr = np.clip(128 + 30 * np.cos(2 * np.pi * yy[::2, ::2] / h), 0, 255)
+        frames.append(tuple(p.astype(np.uint8) for p in (y, cb, cr)))
+    data = JsvEncoder(w, h, EncoderConfig(
+        gop_size=3, quantizer_scale=6)).encode(frames)
+
+    interpret = jax.devices()[0].platform == "cpu"
+    d = JaxStreamDecoder(data)
+    fts = d.parse_all()
+    seq = d.parser.seq
+    consts = make_constants(seq)
+    z = lambda hh, ww: np.zeros((hh, ww), np.uint8)  # noqa: E731
+    refs = (z(seq.coded_height, seq.coded_width),
+            z(seq.coded_height // 2, seq.coded_width // 2),
+            z(seq.coded_height // 2, seq.coded_width // 2))
+    ref_o = ref_i = None
+    dev_psnr, int_psnr = [], []
+    mismatches = 0
+    for ft in fts:
+        cap = mv_bucket(len(np.unique(ft.mb_mv.reshape(-1, 2),
+                                      axis=0)) + 1)
+        fd = frame_to_device(ft, mv_capacity=cap)
+        xla = [np.asarray(p) for p in decode_frame_planes(
+            fd, refs, consts, mc_impl="mvset")]
+        pal = decode_frame_planes_pallas(fd, refs, consts,
+                                         interpret=interpret)
+        fus = decode_frame_planes_fused(fd, refs, consts,
+                                        interpret=interpret)
+        oracle = reconstruct_frame(ft, seq, ref_o)
+        intsim = reconstruct_frame_intsim(ft, seq, ref_i)
+        for a, b, c in zip(xla, pal, fus):
+            if not (np.array_equal(a, np.asarray(b))
+                    and np.array_equal(a, np.asarray(c))):
+                mismatches += 1
+        for a, o, s in zip(xla, oracle, intsim):
+            dev_psnr.append(psnr(a, o))
+            int_psnr.append(psnr(s, o))
+        refs, ref_o, ref_i = tuple(xla), oracle, intsim
+    out = {
+        "device_kernel_mismatch_planes": mismatches,
+        "device_vs_oracle_psnr_db": round(float(min(dev_psnr)), 2),
+        "intsim_vs_oracle_psnr_db": round(float(min(int_psnr)), 2),
+        "device_psnr_beats_reference_int_path":
+            bool(min(dev_psnr) >= min(int_psnr)),
+    }
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -149,6 +222,10 @@ def main() -> None:
         e2e = bench_end_to_end()
     except Exception as e:                 # never lose the device metric
         e2e = {"end_to_end_error": repr(e)[:200]}
+    try:
+        e2e.update(bench_device_correctness())
+    except Exception as e:
+        e2e["correctness_error"] = repr(e)[:200]
     host_cores = __import__("os").cpu_count()
     out = {
         "metric": "1080p_device_decode_frames_per_s_per_chip",
