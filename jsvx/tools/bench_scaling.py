@@ -1,0 +1,121 @@
+"""Multi-process scaling-efficiency bench (BASELINE config 5).
+
+Measures wall-clock frames/s of the SAME stream decoded by 1 process vs
+N processes, each taking its round-robin GOP share through
+:class:`jsvx.runtime.multihost.GopManifest` — the protocol a multi-host
+pod runs (GOPs over DCN, no tensor traffic between hosts).  Efficiency =
+t(1 proc) / (N * max_i t(proc i)).
+
+Run: ``python -m jsvx.tools.bench_scaling [n_procs] [stream.jsv]``
+
+Note on shared boxes: each process models one HOST; on a single machine
+the processes contend for the same cores and device, so the reported
+efficiency is a LOWER bound on real multi-host scaling (where the
+per-host parse and device work are physically private).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+_WORKER = r"""
+import json, sys, time
+data = open(sys.argv[1], "rb").read()
+pid, pcount = int(sys.argv[2]), int(sys.argv[3])
+from jsvx.pipeline.transcode import transcode
+from jsvx.runtime.multihost import GopManifest
+
+def run():
+    m = GopManifest.from_stream(data)
+    return transcode(data, manifest=m, process_id=pid,
+                     process_count=pcount)
+
+res = run()                      # warm: compiles + page-faults
+t0 = time.perf_counter()
+res = run()
+dt = time.perf_counter() - t0
+print(json.dumps({"pid": pid, "frames": res.n_frames,
+                  "seconds": round(dt, 4)}))
+"""
+
+
+def _make_stream(path: str) -> None:
+    from .encoder import EncoderConfig, JsvEncoder
+
+    h, w = 288, 352
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(24):
+        y = np.clip(110 + 70 * np.sin(2 * np.pi * (xx + 5 * t) / w)
+                    + 30 * np.cos(2 * np.pi * (yy + 3 * t) / 64)
+                    + rng.normal(0, 6, (h, w)), 0, 255)
+        cb = np.clip(128 + 30 * np.sin(2 * np.pi * xx[::2, ::2] / w), 0, 255)
+        cr = np.clip(128 + 30 * np.cos(2 * np.pi * yy[::2, ::2] / h), 0, 255)
+        frames.append(tuple(p.astype(np.uint8) for p in (y, cb, cr)))
+    data = JsvEncoder(w, h, EncoderConfig(
+        gop_size=4, quantizer_scale=6, me_range=3)).encode(frames)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _run_procs(stream: str, n: int) -> dict:
+    env = dict(os.environ)
+    procs = []
+    t0 = time.perf_counter()
+    for pid in range(n):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER, stream, str(pid), str(n)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            env=env, text=True))
+    outs = [p.communicate()[0] for p in procs]
+    wall = time.perf_counter() - t0
+    results = [json.loads(o.strip().splitlines()[-1]) for o in outs]
+    return {
+        "n_procs": n,
+        "per_proc": results,
+        "max_proc_seconds": max(r["seconds"] for r in results),
+        "total_frames": sum(r["frames"] for r in results),
+        "launch_wall_seconds": round(wall, 2),
+    }
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if len(sys.argv) > 2:
+        stream = sys.argv[2]
+    else:
+        # prefer the 1080p bench fixture (real per-GOP work) when cached
+        big = os.path.join(tempfile.gettempdir(), "jsvx_bench_1080p_v2.jsv")
+        stream = big if os.path.exists(big) else os.path.join(
+            tempfile.gettempdir(), "jsvx_scaling_cif.jsv")
+        if not os.path.exists(stream):
+            _make_stream(stream)
+
+    one = _run_procs(stream, 1)
+    many = _run_procs(stream, n)
+    t1 = one["max_proc_seconds"]
+    tn = many["max_proc_seconds"]
+    eff = t1 / (n * tn)
+    print(json.dumps({
+        "metric": "multiprocess_scaling_efficiency",
+        "stream": stream,
+        "frames": one["total_frames"],
+        "one_proc_seconds": t1,
+        f"{n}_proc_max_seconds": tn,
+        "efficiency": round(eff, 3),
+        "host_cores": os.cpu_count(),
+        "note": ("single-machine lower bound: processes share cores/"
+                 "device; real hosts have private ones"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
