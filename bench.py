@@ -174,7 +174,7 @@ def main() -> None:
     from jsvx.pipeline.gop import decode_gop_scan, zero_refs
 
     platform = jax.devices()[0].platform
-    impl = "xla" if platform == "cpu" else "pallas"
+    impl = "xla" if platform == "cpu" else "fused"
     # 1080p coded size: 1920 x 1088 = 120 x 68 macroblocks
     mb_h, mb_w = 68, 120
     n_frames = 8 if platform != "cpu" else 2

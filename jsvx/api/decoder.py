@@ -232,12 +232,12 @@ class Decoder(EventDispatcher):
             self._mv_cap = cap
             if self._decode_backend is None:
                 self._decode_backend = (
-                    "pallas" if jax.devices()[0].platform != "cpu"
+                    "fused" if jax.devices()[0].platform != "cpu"
                     else "xla")
-            if self._decode_backend == "pallas" and cap:
-                from ..kernels.pallas_decode import _decode_frame_pallas_jit
+            if self._decode_backend == "fused" and cap:
+                from ..kernels.pallas_fused import decode_frame_fused_jit
 
-                planes = _decode_frame_pallas_jit(
+                planes = decode_frame_fused_jit(
                     frame_to_device(ft, mv_capacity=cap), self._refs,
                     self._consts, self.config.quirk_oddify_zeros)
             else:

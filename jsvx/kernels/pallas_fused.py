@@ -275,6 +275,13 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
       bd_col, *bd_row_args)
 
 
+@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))
+def decode_frame_fused_jit(frame: dict, refs: tuple, consts,
+                           quirk_oddify_zeros: bool = False) -> tuple:
+    return decode_frame_planes_fused(frame, refs, consts,
+                                     quirk_oddify_zeros)
+
+
 def decode_frame_planes_fused(frame: dict, refs: tuple, consts,
                               quirk_oddify_zeros: bool = False,
                               mv_pad: int = 72,

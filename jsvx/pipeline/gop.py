@@ -25,6 +25,13 @@ def stack_device_frames(frames: list[dict]) -> dict:
     return jax.tree.map(lambda *xs: np.stack(xs), *frames)
 
 
+def default_impl() -> str:
+    """Best decode implementation for the current backend: the fully
+    fused single-kernel path on TPU (measured ~18% faster than the
+    two-kernel Pallas path at 1080p, bit-identical), plain XLA on CPU."""
+    return "xla" if jax.devices()[0].platform == "cpu" else "fused"
+
+
 def zero_refs(coded_h: int, coded_w: int, n_comps: int = 3) -> tuple:
     refs = [jnp.zeros((coded_h, coded_w), dtype=jnp.uint8),
             jnp.zeros((coded_h // 2, coded_w // 2), dtype=jnp.uint8),

@@ -69,8 +69,9 @@ class JaxStreamDecoder:
         import jax as _jax
 
         if impl is None:
-            platform = _jax.devices()[0].platform
-            impl = "xla" if platform == "cpu" else "pallas"
+            from .gop import default_impl
+
+            impl = default_impl()
         fts = self.parse_all()
         seq = self.parser.seq
         consts = make_constants(seq)

@@ -49,7 +49,9 @@ def transcode(data: bytes, sink=None, *, impl: str | None = None,
 
     metrics = metrics or Metrics()
     if impl is None:
-        impl = "xla" if jax.devices()[0].platform == "cpu" else "pallas"
+        from .gop import default_impl
+
+        impl = default_impl()
 
     if get_native_parser() is not None:
         return _transcode_packed(data, sink, impl=impl, manifest=manifest,

@@ -75,6 +75,27 @@ def bench_parallel(data: bytes, n_threads=None, reps: int = 3) -> float:
     return len(parsed.frames) / dt
 
 
+def bench_packed(data: bytes, reps: int = 3, slice_threads: int = 1,
+                 n_threads=None) -> float:
+    """The production front-end: packed stacked parse incl. mvset."""
+    from ..pipeline.packed_parse import BufferPool, parse_stream_packed
+
+    pool = BufferPool()
+    parsed = parse_stream_packed(data, pool=pool,
+                                 slice_threads=slice_threads,
+                                 n_threads=n_threads)   # warm pool
+    n = parsed.n_frames
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for g in parse_stream_packed(data, pool=pool,
+                                     slice_threads=slice_threads,
+                                     n_threads=n_threads).gops:
+            for buf in g.pooled:
+                pool.release(buf)
+    dt = (time.perf_counter() - t0) / reps
+    return n / dt
+
+
 def main():
     import os
 
@@ -88,6 +109,10 @@ def main():
         "native_mb_per_s": round(res_native["mb_per_s"]),
         "native_pictures_per_s": round(res_native["pictures_per_s"], 1),
         "parallel_pictures_per_s": round(bench_parallel(data), 1),
+        "packed_pictures_per_s": round(bench_packed(data), 1),
+        "packed_slice_threads_pictures_per_s": round(
+            bench_packed(data, slice_threads=os.cpu_count() or 2,
+                         n_threads=1), 1),
         "host_cores": os.cpu_count(),
         "speedup": round(speedup, 1),
     }))

@@ -38,11 +38,13 @@ def run():
                      process_count=pcount)
 
 res = run()                      # warm: compiles + page-faults
-t0 = time.perf_counter()
-res = run()
-dt = time.perf_counter() - t0
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    res = run()
+    best = min(best, time.perf_counter() - t0)
 print(json.dumps({"pid": pid, "frames": res.n_frames,
-                  "seconds": round(dt, 4)}))
+                  "seconds": round(best, 4)}))
 """
 
 
@@ -66,14 +68,20 @@ def _make_stream(path: str) -> None:
         f.write(data)
 
 
-def _run_procs(stream: str, n: int) -> dict:
+def _run_procs(stream: str, n: int, pin: bool = False) -> dict:
     env = dict(os.environ)
+    ncores = os.cpu_count() or 1
     procs = []
     t0 = time.perf_counter()
     for pid in range(n):
+        cmd = [sys.executable, "-c", _WORKER, stream, str(pid), str(n)]
+        if pin:
+            # one core per process: models hosts with PRIVATE cores, so
+            # the measurement isolates protocol overhead from same-box
+            # core contention
+            cmd = ["taskset", "-c", str(pid % ncores)] + cmd
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", _WORKER, stream, str(pid), str(n)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             env=env, text=True))
     outs = [p.communicate()[0] for p in procs]
     wall = time.perf_counter() - t0
@@ -101,19 +109,26 @@ def main() -> None:
 
     one = _run_procs(stream, 1)
     many = _run_procs(stream, n)
-    t1 = one["max_proc_seconds"]
-    tn = many["max_proc_seconds"]
-    eff = t1 / (n * tn)
+    eff = one["max_proc_seconds"] / (n * many["max_proc_seconds"])
+    # pinned variant: 1 core per process on both sides isolates the
+    # manifest-protocol overhead from same-box core contention
+    one_p = _run_procs(stream, 1, pin=True)
+    many_p = _run_procs(stream, n, pin=True)
+    eff_p = one_p["max_proc_seconds"] / (n * many_p["max_proc_seconds"])
     print(json.dumps({
         "metric": "multiprocess_scaling_efficiency",
         "stream": stream,
         "frames": one["total_frames"],
-        "one_proc_seconds": t1,
-        f"{n}_proc_max_seconds": tn,
-        "efficiency": round(eff, 3),
+        "one_proc_seconds": one["max_proc_seconds"],
+        f"{n}_proc_max_seconds": many["max_proc_seconds"],
+        "efficiency_shared_cores": round(eff, 3),
+        "one_proc_1core_seconds": one_p["max_proc_seconds"],
+        f"{n}_proc_1core_each_max_seconds": many_p["max_proc_seconds"],
+        "efficiency_private_cores": round(eff_p, 3),
         "host_cores": os.cpu_count(),
-        "note": ("single-machine lower bound: processes share cores/"
-                 "device; real hosts have private ones"),
+        "note": ("private-cores efficiency models multi-host scaling "
+                 "(each host has its own cores/chip); shared is the "
+                 "same-box lower bound"),
     }))
 
 
