@@ -109,16 +109,22 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
                         quirk, mc_impl: str = "gather"):
     """Per-device body: decode one frame's local row shard of all planes.
 
-    ``mc_impl="mvset"`` uses the fast distinct-MV prediction on the
-    halo-extended local shard (requires the frame's ``mv_table``/
-    ``mv_idx`` and halo_y a multiple of 16); ``"gather"`` is the exact
-    per-pixel path with global-coordinate clamping.
+    ``mc_impl`` selects the per-shard compute:
+
+    * ``"pallas"`` — the TPU kernels inside shard_map: distinct-MV MC
+      on the halo-extended shard (:func:`predict_plane_mvset_pallas`)
+      feeding the fused dequant+IDCT+add recon kernel
+      (:func:`fused_recon_plane`) — the multi-chip perf path;
+    * ``"mvset"``  — same decomposition in XLA ops (portable);
+    * ``"gather"`` — exact per-pixel path, global-coordinate clamping.
     """
     from ..kernels.decode import comp_is_chroma, frame_comp_keys
 
     idx = jax.lax.axis_index(axis_name)
     outs = []
-    use_mvset = mc_impl == "mvset" and "mv_table" in frame
+    use_mvset = mc_impl in ("mvset", "pallas") and "mv_table" in frame
+    use_pallas = mc_impl == "pallas" and "mv_table" in frame
+    interpret = jax.devices()[0].platform == "cpu"
     for comp, key in enumerate(frame_comp_keys(frame)):
         halo = halo_y // 2 if comp_is_chroma(comp) else halo_y
         local_ref = refs[comp]
@@ -138,6 +144,22 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
             pad_blk = ((hb_halo, hb_halo), (0, 0))
             idx_ext = jnp.pad(ci["mv_idx"], pad_blk, mode="edge")
             rep_ext = jnp.pad(ci["rep_add"], pad_blk, mode="edge")
+            if use_pallas:
+                from ..kernels.pallas_decode import (expand_sideband,
+                                                     fused_recon_plane)
+                from ..kernels.pallas_mc import predict_plane_mvset_pallas
+
+                pred = predict_plane_mvset_pallas(
+                    ext, frame["mv_table"], idx_ext, rep_ext,
+                    comp_is_chroma(comp), pad=max(halo, 8),
+                    interpret=interpret,
+                    n_valid=frame.get("mv_count"))[halo:halo + h_local]
+                pred = pred * frame["is_p"].astype(jnp.int32)
+                mult, flags = expand_sideband(ci, consts, frame["is_p"])
+                outs.append(fused_recon_plane(
+                    ci["levels"].astype(jnp.int16), mult, flags, pred,
+                    quirk=quirk, interpret=interpret))
+                continue
             pred = predict_plane_mvset(
                 ext, frame["mv_table"], idx_ext, rep_ext,
                 comp_is_chroma(comp),

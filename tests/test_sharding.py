@@ -196,7 +196,8 @@ def test_derived_halo_and_allgather_fallback():
 
 
 def test_slice_row_sharded_mvset_mc(tall_stream):
-    """Fast mvset MC on halo-extended shards == single-device decode."""
+    """Fast mvset MC on halo-extended shards == single-device decode;
+    same for the Pallas-kernels-inside-shard_map perf path."""
     from jsvx.kernels.decode import mv_bucket
 
     data, _ = tall_stream
@@ -211,7 +212,8 @@ def test_slice_row_sharded_mvset_mc(tall_stream):
     refs0 = zero_refs(seq.coded_height, seq.coded_width)
     single, _ = decode_gop_scan(stacked, refs0, consts, mc_impl="mvset")
     mesh = build_mesh({"rows": 4})
-    sharded, _ = decode_gop_rows_sharded(
-        stacked, refs0, consts, mesh, halo_y=32, mc_impl="mvset")
-    for a, b in zip(single, sharded):
-        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for mc in ("mvset", "pallas"):
+        sharded, _ = decode_gop_rows_sharded(
+            stacked, refs0, consts, mesh, halo_y=32, mc_impl=mc)
+        for a, b in zip(single, sharded):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), mc
