@@ -142,11 +142,17 @@ class StreamParser:
     pattern immediately after the cbp VLC otherwise; alpha DC uses its
     own per-slice predictor with the luminance DC-size table; alpha
     prediction uses the luma motion vectors at full resolution.
+
+    ``emit_sideband`` makes the native back-end write the per-pixel
+    dequant sideband (``mult``/``flags``) during its block pass; off by
+    default — device-side expansion is cheaper than the extra host
+    memory traffic (PERF.md).
     """
 
     def __init__(self, use_native: bool | None = None,
-                 yuva: bool = False):
+                 yuva: bool = False, emit_sideband: bool = False):
         self.yuva = yuva
+        self.emit_sideband = emit_sideband
         self._native = None
         if use_native is None or use_native:
             from .native import get_native_parser
@@ -263,7 +269,8 @@ class StreamParser:
             data_arr = np.frombuffer(r.data, dtype=np.uint8)
             rel_bit = r.bit_pos - (r.base << 3)
             end_rel = self._native.parse_picture_slices(
-                data_arr, rel_bit, ft, mb_w, mb_h, seq)
+                data_arr, rel_bit, ft, mb_w, mb_h,
+                seq if self.emit_sideband else None)
             r.seek_bits((r.base + end_rel) << 3)
             return ft
 

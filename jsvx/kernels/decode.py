@@ -150,19 +150,22 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
         mv_count = np.int32(len(uniq))
         mv_idx = inv.reshape(ft.mb_mv.shape[:2]).astype(np.int32)
 
+    # narrow wire dtypes: these arrays cross the host->device link every
+    # frame; kernels promote as needed (copy=False skips the redundant
+    # same-dtype copies the old int32 widening forced)
     out = dict(is_p=np.int32(0 if ft.is_intra_picture else 1),
                f_code=np.int32(ft.f_code))
     for comp in range(len(ft.levels)):
         c = dict(
-            levels=ft.levels[comp].astype(dtype_levels),
-            lnz=ft.lnz[comp].astype(np.int32),
-            q=mb_to_blocks(ft.mb_quant, comp).astype(np.int32),
-            intra=mb_to_blocks(ft.mb_intra, comp).astype(np.int32),
-            mv=mb_to_blocks(ft.mb_mv, comp).astype(np.int32),
-            rep_add=mb_to_blocks(ft.mb_rep_add, comp).astype(np.int32),
+            levels=ft.levels[comp].astype(dtype_levels, copy=False),
+            lnz=ft.lnz[comp],
+            q=mb_to_blocks(ft.mb_quant, comp),
+            intra=mb_to_blocks(ft.mb_intra, comp),
+            mv=mb_to_blocks(ft.mb_mv, comp).astype(np.int16, copy=False),
+            rep_add=mb_to_blocks(ft.mb_rep_add, comp),
         )
         if mv_capacity:
-            c["mv_idx"] = mb_to_blocks(mv_idx, comp)
+            c["mv_idx"] = mb_to_blocks(mv_idx, comp).astype(np.int16)
         if ft.mult is not None:
             c["mult"] = ft.mult[comp]
             c["flags"] = ft.flags[comp]
@@ -255,6 +258,7 @@ def predict_plane(ref: jax.Array, mv_blk: jax.Array, rep_add_blk: jax.Array,
     h = ext_h - 2 * halo                   # local output rows
     if h_global is None:
         h_global = h
+    mv_blk = mv_blk.astype(jnp.int32)      # wire dtype may be int16
     mvy = jnp.repeat(jnp.repeat(mv_blk[..., 0], 8, axis=0), 8, axis=1)
     mvx = jnp.repeat(jnp.repeat(mv_blk[..., 1], 8, axis=0), 8, axis=1)
     if is_chroma:

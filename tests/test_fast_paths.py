@@ -18,10 +18,10 @@ from conftest import synthetic_frames
 from test_kernels import _walk
 
 
-def _stream_frames(clip, **cfg):
+def _stream_frames(clip, emit_sideband=False, **cfg):
     h, w = clip[0][0].shape
     data = JsvEncoder(w, h, EncoderConfig(**cfg)).encode(clip)
-    return list(_walk(data))
+    return list(_walk(data, emit_sideband=emit_sideband))
 
 
 def test_mv_bucket():
@@ -181,7 +181,8 @@ def test_native_sideband_matches_xla_expand(tiny_clip):
 
     if get_native_parser() is None:
         pytest.skip("native parser unavailable")
-    frames = _stream_frames(tiny_clip, gop_size=3, quantizer_scale=4)
+    frames = _stream_frames(tiny_clip, emit_sideband=True,
+                            gop_size=3, quantizer_scale=4)
     from jsvx.kernels.pallas_decode import expand_sideband
 
     n_checked = 0
@@ -216,7 +217,8 @@ def test_decode_with_native_sideband_matches_oracle(tiny_clip):
 
     if get_native_parser() is None:
         pytest.skip("native parser unavailable")
-    frames = _stream_frames(tiny_clip, gop_size=3, quantizer_scale=4)
+    frames = _stream_frames(tiny_clip, emit_sideband=True,
+                            gop_size=3, quantizer_scale=4)
     consts = None
     refs = None
     ref_o = None

@@ -19,10 +19,11 @@ from jsvx.tools.oracle import (OracleDecoder, reconstruct_frame,
 from jsvx.tools.psnr import psnr
 
 
-def _walk(data):
+def _walk(data, emit_sideband=False):
     """(FrameTensors, seq) pairs via the shared parser."""
     dec = OracleDecoder(data)
     r, idx, parser = dec.reader, dec.index, dec.parser
+    parser.emit_sideband = emit_sideband
     while True:
         nxt = idx.next_code(r.byte_pos)
         if nxt is None:
