@@ -24,6 +24,10 @@ class PlayerConfig:
     # regex -> replacement mapping from a video src to its companion
     # audio src (the reference's audioMap, easybits.player.js:1205)
     audio_map: list = field(default_factory=list)
+    # gate audio behind an explicit unlock (the reference's unlockAudio
+    # ceremony for mobile browsers, features/unlockaudio.js): audio will
+    # not start until Player.unlock_audio() is called
+    unlock_audio: bool = False
     skip_hard: bool = False            # drop late frames aggressively
     seconds_played_limit: float = 30.0  # backward-buffer seconds kept
     max_decoded_frames: int = 10       # decode-ahead queue cap

@@ -193,6 +193,7 @@ class Player(EventDispatcher):
         self._next_frame_due_ms: float | None = None
         self._last_sync_check = 0.0
         self._av_hold: str | None = None   # "audio" | "video" pause-ahead
+        self._audio_unlocked = not self.config.unlock_audio
         self._thread = None
         self._thread_stop = threading.Event()
         self._frame_sink = None
@@ -570,13 +571,29 @@ class Player(EventDispatcher):
     # ------------------------------------------------------------------
     # Playback control
 
+    def unlock_audio(self) -> None:
+        """The reference's unlock ceremony analog
+        (``features/unlockaudio.js``): with ``config.unlock_audio`` set,
+        audio stays silent until the host app signals a user gesture by
+        calling this; emits ``audiounlocked`` once."""
+        if not self._audio_unlocked:
+            self._audio_unlocked = True
+            self.emit("audiounlocked")
+            if not self._paused:
+                self.audio.play()
+
+    @property
+    def audio_unlocked(self) -> bool:
+        return self._audio_unlocked
+
     def play(self) -> None:
         if not self._paused:
             return
         self._paused = False
         self._ended = False
         self.emit("play")
-        self.audio.play()
+        if self._audio_unlocked:
+            self.audio.play()
         self._played_anchor = self.current_time
         self._next_frame_due_ms = None
         self.emit("playing")
@@ -718,7 +735,7 @@ class Player(EventDispatcher):
         if self._av_hold == "audio":
             if drift_ms <= 0:              # video caught up: resume audio
                 self._av_hold = None
-                if not self._paused:
+                if not self._paused and self._audio_unlocked:
                     a.play()
             return
         if self._av_hold == "video":
@@ -795,7 +812,8 @@ class Player(EventDispatcher):
         self._played_anchor = self.current_time
         if resume and self._paused:
             self._paused = False
-            self.audio.play()
+            if self._audio_unlocked:
+                self.audio.play()
 
     # ------------------------------------------------------------------
     # Background decode (the reference's front/back worker split,

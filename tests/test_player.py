@@ -394,6 +394,27 @@ def test_audio_map_fetch_installs_wall_clock(stream, tmp_path):
     assert abs(p.audio.duration - 2.0) < 1e-9   # 64000 B / 32000 Bps
 
 
+def test_audio_unlock_ceremony(stream):
+    """config.unlock_audio gates the audio clock behind an explicit
+    unlock_audio() call (features/unlockaudio.js analog)."""
+    from jsvx.api.player import WallClockAudio
+
+    data, _ = stream
+    ft = _FakeTime()
+    clock = WallClockAudio(b"\0" * 32000 * 30, time_fn=ft)
+    p = Player(PlayerConfig(unlock_audio=True), backend="oracle",
+               audio_clock=clock)
+    events = []
+    p.on("audiounlocked", lambda: events.append(1))
+    p.src = data
+    p.play()
+    assert not clock.playing and not p.audio_unlocked
+    p.unlock_audio()
+    assert events == [1] and clock.playing and p.audio_unlocked
+    p.unlock_audio()                       # idempotent
+    assert events == [1]
+
+
 def test_buffered_vbr_uses_key_map():
     """buffered must map bytes to time through the GOP key map, not a
     global average rate: GOPs of very different sizes would otherwise
