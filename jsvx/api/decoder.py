@@ -56,6 +56,7 @@ class Decoder(EventDispatcher):
         self._consts = None
         self._index_cache: tuple[int, int, StartCodeIndex] | None = None
         self._decode_backend = None
+        self._pending: list[DecodedFrame] = []   # GOP-batch output queue
 
     # ------------------------------------------------------------------
     # Ingest
@@ -114,10 +115,27 @@ class Decoder(EventDispatcher):
 
     def decode_frame(self) -> DecodedFrame | None:
         """Decode the next picture; None on stall or end (check
-        ``ended``).  Mirrors the reference decode loop (jsv.js:426-465)."""
+        ``ended``).  Mirrors the reference decode loop (jsv.js:426-465).
+
+        With ``config.use_gop_scan`` and a key map, a fully-buffered GOP
+        is decoded as ONE batched device scan (per-frame dispatch and
+        transfer amortize across the GOP); frames stream out of an
+        internal queue.  Falls back to picture-at-a-time whenever the
+        next GOP is not fully buffered yet.
+        """
+        if self._pending:
+            frame = self._pending.pop(0)
+            self.emit("frame", frame)
+            return frame
         if self.meta is None:
             self.emit("stalled", 0)
             return None
+        if self.config.use_gop_scan and self.backend == "jax":
+            span = self._buffered_gop_span()
+            if span is not None:
+                got = self._decode_gop_batch(span)
+                if got is not None:
+                    return got
         while True:
             total = self.buffer.total_length
             if ((total and self.buffer.read_pos >= total)
@@ -179,6 +197,114 @@ class Decoder(EventDispatcher):
             except BitStallError as e:
                 self.emit("stalled", e.needed_byte)
                 return None
+
+    # ------------------------------------------------------------------
+    # GOP-batched decode (device scan over a fully-buffered GOP)
+
+    def _buffered_gop_span(self) -> tuple | None:
+        """Byte span [start, end) of the key-map GOP containing read_pos
+        iff every byte of it is buffered; None otherwise."""
+        if self._skip_till_gop or self.meta is None:
+            return None
+        km = self.meta.key_map
+        if km is None or km.count == 0:
+            return None
+        pos = self.buffer.read_pos
+        offs = km.offsets
+        i = int(np.searchsorted(offs, pos, side="right")) - 1
+        if i < 0:
+            return None
+        if i + 1 < km.count:
+            end = int(offs[i + 1])
+            # +4: the next GOP's start code must be visible so the native
+            # parser can bound this GOP's final picture
+            need = end - pos + 4
+        else:
+            total = self.buffer.total_length
+            if not total:
+                return None
+            end = total
+            need = end - pos
+        if end <= pos:
+            return None
+        if self.buffer.buffered_from(pos) < need:
+            return None
+        return (pos, end)
+
+    def _decode_gop_batch(self, span) -> DecodedFrame | None:
+        """Parse every picture in the buffered span and reconstruct them
+        with ONE ``decode_gop_scan`` (dispatch + transfer amortize over
+        the GOP); the first frame returns, the rest queue in
+        ``_pending``.  Any surprise stall falls back to the
+        picture-at-a-time loop."""
+        start, end = span
+        fts = []
+        while True:
+            pos = self.buffer.read_pos
+            if pos >= end:
+                break
+            vi = self._view_and_index()
+            if vi is None:
+                break
+            data, base, index = vi
+            nxt = index.next_code(pos)
+            if nxt is None or nxt[0] >= end:
+                self.buffer.advance_to(min(end, base + len(data)))
+                break
+            off, code = nxt
+            r = BitReader(data.tobytes(), base=base,
+                          pos_bits=(off + 4) << 3)
+            try:
+                if code == T.START_SEQUENCE:
+                    self._on_sequence(self.parser.parse_sequence_header(r))
+                    self.buffer.advance_to(r.byte_pos)
+                elif code == T.START_GOP:
+                    self.current_time_ms = self.parser.parse_gop_header(r)
+                    self.buffer.advance_to(r.byte_pos)
+                elif code == T.START_PICTURE:
+                    ft = self.parser.parse_picture(
+                        r, index, self._known_end(base, len(data)) or end)
+                    self.buffer.advance_to(min(r.byte_pos, end))
+                    if ft is not None:
+                        fts.append(ft)
+                else:
+                    self.buffer.advance_to(off + 4)
+            except BitStallError as e:
+                self.emit("stalled", e.needed_byte)
+                break
+        if not fts:
+            return None
+
+        from ..kernels.decode import (frame_to_device, make_constants,
+                                      mv_bucket)
+        from ..pipeline.gop import (decode_gop_scan, default_impl,
+                                    stack_device_frames, zero_refs)
+
+        seq = self.parser.seq
+        if self._consts is None:
+            self._consts = make_constants(seq)
+        if self._refs is None:
+            self._refs = zero_refs(seq.coded_height, seq.coded_width,
+                                   n_comps=fts[0].n_comps)
+        n_mv = max(len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1
+                   for ft in fts)
+        cap = max(getattr(self, "_mv_cap", 0) or 0, mv_bucket(n_mv))
+        self._mv_cap = cap
+        stacked = stack_device_frames(
+            [frame_to_device(ft, mv_capacity=cap) for ft in fts])
+        outs, refs = decode_gop_scan(
+            stacked, self._refs, self._consts,
+            self.config.quirk_oddify_zeros,
+            mc_impl="mvset" if cap else "gather", impl=default_impl())
+        self._refs = refs
+        frames = [DecodedFrame(planes=tuple(p[i] for p in outs),
+                               picture_type=fts[i].picture_type,
+                               ts_ms=fts[i].gop_time_ms)
+                  for i in range(len(fts))]
+        self._pending = frames[1:]
+        first = frames[0]
+        self.emit("frame", first)
+        return first
 
     @property
     def ended(self) -> bool:
@@ -282,6 +408,7 @@ class Decoder(EventDispatcher):
         self.current_time_ms = self.parser.current_time_ms
         self._refs = None                 # next picture is an I frame
         self._ended = False
+        self._pending.clear()             # drop batched frames pre-seek
         self.emit("seeked", target_ms, self.current_time_ms)
         return True
 

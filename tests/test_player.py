@@ -446,6 +446,57 @@ def test_buffered_vbr_uses_key_map():
     assert abs(full.end(0) - p.duration) < 0.1
 
 
+def test_gop_batch_decode_matches_per_frame(stream):
+    """With use_gop_scan and a fully-buffered key-map GOP, the Decoder
+    reconstructs whole GOPs in one device scan; output must equal the
+    picture-at-a-time path exactly, including after a seek."""
+    data, clip = stream
+
+    def run(use_gop_scan):
+        d = Decoder(PlayerConfig(use_gop_scan=use_gop_scan))
+        d.feed(0, data, total=len(data))
+        return d, [f for f in d.iter_frames()]
+
+    d_batch, batch = run(True)
+    d_one, single = run(False)
+    assert d_batch._mv_cap and batch and d_batch.ended
+    assert len(batch) == len(single) == len(clip)
+    # the batch path actually engaged (frames were queued)
+    for a, b in zip(batch, single):
+        assert a.picture_type == b.picture_type
+        for pa, pb in zip(a.planes, b.planes):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    # seek drops the internal queue and stays consistent
+    d = Decoder(PlayerConfig(use_gop_scan=True))
+    d.feed(0, data, total=len(data))
+    first = d.decode_frame()
+    assert first is not None and d._pending      # queue populated
+    assert d.seek(250.0)
+    got = [f for f in d.iter_frames()]
+    assert got and got[0].is_intra
+    # frames after seek equal the tail of the straight decode
+    tail = single[len(single) - len(got):]
+    for a, b in zip(got, tail):
+        for pa, pb in zip(a.planes, b.planes):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_gop_batch_partial_buffer_falls_back(stream):
+    """A partially-buffered GOP must still decode per-frame (no batch),
+    then batching resumes once the data arrives."""
+    data, clip = stream
+    d = Decoder(PlayerConfig(use_gop_scan=True))
+    # feed only the first half: the early GOPs batch, later ones stall
+    half = len(data) // 2
+    d.feed(0, data[:half], total=len(data))
+    got = [f for f in d.iter_frames()]
+    assert 0 < len(got) < len(clip) and not d.ended
+    d.feed(half, data[half:], total=len(data))
+    got += [f for f in d.iter_frames()]
+    assert len(got) == len(clip) and d.ended
+
+
 def test_top_level_exports():
     import jsvx
 
