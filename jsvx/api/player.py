@@ -333,6 +333,10 @@ class Player(EventDispatcher):
             self.emit("suspend")
             return
         s, e = plan
+        if not getattr(self._source, "streaming", True):
+            # per-chunk transports: align request start down to a chunk
+            # boundary so successive requests tile (easybits.player.js:1872-1970)
+            s -= s % self.config.chunk_size
         self.network_state = NetworkState.NETWORK_LOADING
         self._pending_request = self._source.request(
             s, e, self._on_chunk, on_error=self._on_net_error,

@@ -18,7 +18,16 @@ from dataclasses import dataclass
 
 
 class ByteSource:
-    """Interface: ranged chunked loading with cancellation."""
+    """Interface: ranged chunked loading with cancellation.
+
+    ``streaming`` mirrors the reference loader's ``stream`` capability bit
+    (``features/http.js:109-143``): True when one request can deliver an
+    arbitrarily long range as a chunk stream; False when the transport
+    fetches one chunk per request, in which case the caller should align
+    request starts to chunk boundaries (``easybits.player.js:1872-1970``).
+    """
+
+    streaming: bool = True
 
     def total_length(self) -> int | None:
         raise NotImplementedError
@@ -126,13 +135,76 @@ class FileSource(ByteSource):
         handle.cancelled = True
 
 
-class HttpSource(ByteSource):
-    """Ranged HTTP fetches (Range: bytes=s-e), streamed in chunks."""
+class _HttpHandle(_CancelFlag):
+    """Cancel handle that can abort an in-flight response.
 
-    def __init__(self, url: str, timeout: float = 30.0):
+    The reference loader aborts mid-request (``xhr.abort()`` /
+    ``reader.cancel()``, ``features/http.js:116-124,203,343``); the urllib
+    analog is closing the response object from the cancelling thread, which
+    makes a blocked ``resp.read()`` raise immediately instead of waiting for
+    the next chunk boundary.
+    """
+
+    def __init__(self):
+        super().__init__()
+        self._resp = None
+        self._lock = threading.Lock()
+
+    def attach(self, resp) -> bool:
+        with self._lock:
+            if self.cancelled:
+                return False
+            self._resp = resp
+            return True
+
+    def detach(self) -> None:
+        with self._lock:
+            self._resp = None
+
+    def abort(self) -> None:
+        with self._lock:
+            self.cancelled = True
+            resp, self._resp = self._resp, None
+        if resp is not None:
+            try:
+                resp.close()
+            except Exception:
+                pass
+
+
+class HttpSource(ByteSource):
+    """Ranged HTTP fetches with the reference loader's robustness.
+
+    Behaviors mirrored from ``features/http.js:145-424``:
+
+    * **strategy probing** — the first response tells us whether the server
+      honors ``Range`` (206/Content-Range).  If it replies 200 with the full
+      body we keep pumping that body and slice client-side, and flip
+      ``streaming``/``ranged`` so the player can align future requests.
+    * **sequential-chunk fallback** — ``sequential=True`` (the xhrLoader
+      non-streaming mode) issues one Range request per ``chunk_size`` chunk
+      instead of streaming a single long response.
+    * **retry with resume** — transient failures (timeouts, resets, 5xx)
+      are retried up to ``retries`` times with exponential backoff,
+      resuming from the last delivered byte, before ``on_error`` fires.
+    * **mid-request abort** — ``cancel`` closes the live response so a
+      blocked read returns immediately (see :class:`_HttpHandle`).
+    * ``cache_buster`` appends ``?bytes=s-e`` like the reference's Safari
+      workaround (``features/http.js:260-266``).
+    """
+
+    def __init__(self, url: str, timeout: float = 30.0, retries: int = 3,
+                 backoff_s: float = 0.25, sequential: bool = False,
+                 cache_buster: bool = False):
         self._url = url
         self._timeout = timeout
+        self._retries = max(0, retries)
+        self._backoff = backoff_s
+        self._sequential = sequential
+        self._cache_buster = cache_buster
         self._total: int | None = None
+        self.ranged: bool | None = None     # None until probed
+        self.streaming = not sequential
 
     def total_length(self) -> int | None:
         if self._total is None:
@@ -146,35 +218,142 @@ class HttpSource(ByteSource):
                 self._total = None
         return self._total
 
-    def _pump(self, start, end, on_data, on_error, on_complete, chunk, flag):
-        try:
+    def _open(self, start: int, end: int | None):
+        url = self._url
+        if self._cache_buster:
+            sep = "&" if "?" in url else "?"
+            url = f"{url}{sep}bytes={start}-{'' if end is None else end}"
+        headers = {}
+        if start or end is not None:
             rng = f"bytes={start}-" + ("" if end is None else str(end))
-            req = urllib.request.Request(self._url, headers={"Range": rng})
-            with urllib.request.urlopen(req, timeout=self._timeout) as resp:
-                total = self._total
-                cr = resp.headers.get("Content-Range")
-                if cr and "/" in cr:
-                    try:
-                        total = int(cr.rsplit("/", 1)[1])
-                        self._total = total
-                    except ValueError:
-                        pass
-                pos = start
-                while not flag.cancelled:
-                    data = resp.read(chunk)
-                    if not data:
-                        break
-                    on_data(pos, data, total or 0)
-                    pos += len(data)
-            if on_complete and not flag.cancelled:
-                on_complete()
-        except Exception as e:
-            if on_error:
-                on_error(e)
+            headers["Range"] = rng
+        req = urllib.request.Request(url, headers=headers)
+        return urllib.request.urlopen(req, timeout=self._timeout)
+
+    def _note_response(self, resp, start: int):
+        """Probe the range strategy from a live response; returns the byte
+        offset the response body actually begins at."""
+        total = self._total
+        cr = resp.headers.get("Content-Range")
+        if cr and "/" in cr:
+            try:
+                total = int(cr.rsplit("/", 1)[1])
+                self._total = total
+            except ValueError:
+                pass
+        code = getattr(resp, "status", None) or resp.getcode()
+        if code == 206:
+            self.ranged = True
+            return start
+        # 200: server ignored Range and sent the whole body from byte 0.
+        self.ranged = False if (start or cr is None) else self.ranged
+        cl = resp.headers.get("Content-Length")
+        if code == 200 and cl and self._total is None:
+            try:
+                self._total = int(cl)
+            except ValueError:
+                pass
+        return 0 if code == 200 else start
+
+    def _pump_body(self, resp, body_pos, start, end, on_data, chunk, flag):
+        """Stream one response body, slicing off bytes before ``start``
+        (the unranged-200 case).  Returns the next byte to deliver."""
+        pos = start
+        while not flag.cancelled:
+            data = resp.read(chunk)
+            if not data:
+                break
+            seg_end = body_pos + len(data)
+            if seg_end > pos:
+                payload = data[pos - body_pos:]
+                if end is not None and pos + len(payload) > end + 1:
+                    payload = payload[:end + 1 - pos]
+                if payload:
+                    on_data(pos, payload, self._total or 0)
+                    pos += len(payload)
+            body_pos = seg_end
+            if end is not None and pos > end:
+                break
+        return pos
+
+    def _pump(self, start, end, on_data, on_error, on_complete, chunk, flag):
+        import time
+
+        pos = start
+        attempts = 0
+        while not flag.cancelled:
+            req_end = end
+            if self._sequential:
+                req_end = pos + chunk - 1
+                if end is not None:
+                    req_end = min(req_end, end)
+            try:
+                resp = self._open(pos, req_end)
+            except Exception as e:
+                if flag.cancelled:
+                    return
+                if getattr(e, "code", None) == 416:
+                    break               # requested past EOS: complete
+                attempts += 1
+                if attempts > self._retries:
+                    if on_error:
+                        on_error(e)
+                    return
+                time.sleep(self._backoff * (2 ** (attempts - 1)))
+                continue
+            if not flag.attach(resp):
+                resp.close()
+                return
+            try:
+                body_pos = self._note_response(resp, pos)
+                new_pos = self._pump_body(resp, body_pos, pos, req_end,
+                                          on_data, chunk, flag)
+            except Exception as e:
+                flag.detach()
+                if flag.cancelled:
+                    return
+                attempts += 1
+                if attempts > self._retries:
+                    if on_error:
+                        on_error(e)
+                    return
+                time.sleep(self._backoff * (2 ** (attempts - 1)))
+                continue
+            finally:
+                flag.detach()
+                try:
+                    resp.close()
+                except Exception:
+                    pass
+            made_progress = new_pos > pos
+            pos = new_pos
+            if made_progress:
+                attempts = 0
+            if flag.cancelled:
+                return
+            done_to = end if end is not None else (
+                None if self._total is None else self._total - 1)
+            if done_to is not None and pos > done_to:
+                break
+            if not self._sequential:
+                if made_progress and self._total is not None \
+                        and pos >= self._total:
+                    break
+                # Short body: the connection closed early.  Retry/resume
+                # from pos (streaming mode) unless we're at EOS.
+                if not made_progress:
+                    attempts += 1
+                    if attempts > self._retries:
+                        break           # treat persistent EOF as completion
+                    time.sleep(self._backoff * (2 ** (attempts - 1)))
+            elif not made_progress:
+                break                   # sequential: empty chunk = EOS
+        if on_complete and not flag.cancelled:
+            on_complete()
 
     def request(self, start, end, on_data, on_error=None, on_complete=None,
                 chunk_size: int = 300000):
-        flag = _CancelFlag()
+        flag = _HttpHandle()
         threading.Thread(
             target=self._pump,
             args=(start, end, on_data, on_error, on_complete, chunk_size,
@@ -183,7 +362,10 @@ class HttpSource(ByteSource):
         return flag
 
     def cancel(self, handle) -> None:
-        handle.cancelled = True
+        if isinstance(handle, _HttpHandle):
+            handle.abort()
+        else:
+            handle.cancelled = True
 
 
 class ChaosSource(ByteSource):
@@ -200,6 +382,10 @@ class ChaosSource(ByteSource):
         self.drop_rate = drop_rate
         self.error_rate = error_rate
         self.delay_s = delay_s
+
+    @property
+    def streaming(self):
+        return self._inner.streaming
 
     def total_length(self):
         return self._inner.total_length()
