@@ -92,18 +92,38 @@ def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
         def _(k=k, slot=slot):
             start_dma(k, slot).wait()
             _, _, ry, rx = aligned_parts(k)
-            win = win_ref[slot][:].astype(jnp.int32)
+            win = win_ref[slot][:].astype(jnp.int32)   # rotate needs 32-bit
             win = pltpu.roll(win, (h_win - ry) % h_win, 0)
             win = pltpu.roll(win, (w_win - rx) % w_win, 1)
             _, oy, _, ox = _mv_parts(mv_ref, k, is_chroma)
-            a = win[0:th, 0:w]
-            b = win[0:th, 1:w + 1]
-            c = win[1:th + 1, 0:w]
-            d = win[1:th + 1, 1:w + 1]
-            bias = (ox + oy + ox * oy + 1) >> 1
-            interp = ((a + ox * b + oy * c + (ox * oy) * d + bias)
-                      >> (ox + oy)).astype(jnp.int16)
-            pred_ref[:] = jnp.where(sel == k, interp, pred_ref[:])
+            sel_k = sel == k
+
+            # specialize per half-pel case (shader INTER_1's odd_h/odd_v):
+            # full-pel MVs — the common case in real streams — reduce to a
+            # single select instead of a 4-tap blend
+            @pl.when((ox == 0) & (oy == 0))
+            def _():
+                pred_ref[:] = jnp.where(
+                    sel_k, win[0:th, 0:w].astype(jnp.int16), pred_ref[:])
+
+            @pl.when((ox == 1) & (oy == 0))
+            def _():
+                interp = ((win[0:th, 0:w] + win[0:th, 1:w + 1] + 1)
+                          >> 1).astype(jnp.int16)
+                pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
+
+            @pl.when((ox == 0) & (oy == 1))
+            def _():
+                interp = ((win[0:th, 0:w] + win[1:th + 1, 0:w] + 1)
+                          >> 1).astype(jnp.int16)
+                pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
+
+            @pl.when((ox == 1) & (oy == 1))
+            def _():
+                interp = ((win[0:th, 0:w] + win[0:th, 1:w + 1]
+                           + win[1:th + 1, 0:w] + win[1:th + 1, 1:w + 1]
+                           + 2) >> 2).astype(jnp.int16)
+                pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
 
     # ---- dequantise (reference COL_* integer semantics) -----------------
     lv = lv_ref[:].astype(jnp.int32)
