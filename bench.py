@@ -13,11 +13,15 @@ lax.scan (integer dequant + 8x8 IDCT + half-pel MC + clamp) on synthetic
 1080p-shaped FrameTensors with realistic coefficient sparsity and motion,
 using the fused Pallas kernels on TPU (XLA path on CPU).
 
-Measurement notes: remote-tunnel runtimes may cache identical-input
-executions and return from block_until_ready before compute finishes, so
-every trial uses fresh input data and the timed program reduces all
-output planes to a checksum scalar that is fetched to the host; the
-host round-trip cost is measured separately and subtracted.  The VLC
+Measurement methodology (rebuilt in round 3 after the round-2 artifact
+was invalidated by noise): the timed program is ONE jitted
+``lax.fori_loop`` of K GOP scans where every iteration's input is
+perturbed by the previous iteration's output checksum — a hard data
+dependency, so no iteration can be elided, reordered, or served from a
+result cache — and K is auto-calibrated so the loop runs >= ~1.2 s of
+device work, making the host round-trip (measured, reported, never
+subtracted) a <10% perturbation.  The run is marked
+``measurement_invalid`` if elapsed < 10x round_trip or < 0.5 s.  The VLC
 host parse is benchmarked separately (python -m jsvx.tools.bench_parse).
 """
 
@@ -183,24 +187,31 @@ def main() -> None:
     consts = make_constants()
     refs = jax.device_put(zero_refs(h, w))
 
-    @jax.jit
-    def run_sum(s, r, delta):
-        # per-trial input perturbation ON DEVICE: the coefficient planes
-        # shift by `delta`, so no two trials execute on identical data
-        # (defeats remote-runtime result caching) while the host uploads
-        # the GOP exactly once (large tunnel transfers are slow/flaky).
+    def decode_chk(s, r, delta):
+        # perturb the coefficient planes by `delta` ON DEVICE so the
+        # decode's input depends on the previous iteration's output
         s = dict(s)
         for k in ("y", "cb", "cr"):
             c = dict(s[k])
             c["levels"] = (c["levels"].astype(jnp.int32)
                            + delta).astype(jnp.int16)
             s[k] = c
-        outs, fin = decode_gop_scan(s, r, consts, impl=impl,
-                                    mc_impl="mvset")
-        chk = (jnp.sum(outs[0].astype(jnp.int32))
-               + jnp.sum(outs[1].astype(jnp.int32))
-               + jnp.sum(outs[2].astype(jnp.int32)))
-        return chk
+        outs, _ = decode_gop_scan(s, r, consts, impl=impl,
+                                  mc_impl="mvset")
+        return (jnp.sum(outs[0].astype(jnp.int32))
+                + jnp.sum(outs[1].astype(jnp.int32))
+                + jnp.sum(outs[2].astype(jnp.int32)))
+
+    def make_chained(k_iters: int):
+        # K GOP scans inside one program, serialised by a data
+        # dependency: iteration i's input shifts by iteration i-1's
+        # checksum mod 5.  No iteration can be elided or cached.
+        @jax.jit
+        def chained(s, r, seed):
+            def body(_, chk):
+                return decode_chk(s, r, chk % 5)
+            return jax.lax.fori_loop(0, k_iters, body, seed)
+        return chained
 
     @jax.jit
     def trivial(x):
@@ -215,18 +226,32 @@ def main() -> None:
 
     data = jax.device_put(build_gop(mb_h, mb_w, n_frames, seed=999))
     jax.block_until_ready(data)
-    np.asarray(run_sum(data, refs, jnp.int32(99)))   # compile + warm
 
-    trials = 6 if platform != "cpu" else 2
+    # calibrate K so one timed call covers >= ~1.2 s of device work
+    probe = make_chained(2)
+    np.asarray(probe(data, refs, jnp.int32(99)))      # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(probe(data, refs, jnp.int32(1)))
+    # calibration only: net out the (dominant, jittery) tunnel round-trip
+    # to estimate per-scan device time; the timed run below never
+    # subtracts anything
+    per_scan = max((time.perf_counter() - t0 - round_trip) / 2, 1e-6)
+    k_iters = max(2, int(np.ceil(1.2 / per_scan)))
+    if platform == "cpu":
+        k_iters = min(k_iters, 4)          # CI smoke: keep CPU runs short
+    run = make_chained(k_iters) if k_iters != 2 else probe
+    np.asarray(run(data, refs, jnp.int32(98)))        # compile + warm
+
+    trials = 3 if platform != "cpu" else 1
     best = float("inf")
     for t in range(trials):
-        np.asarray(trivial(xsmall))        # drain the queue
         t0 = time.perf_counter()
-        np.asarray(run_sum(data, refs, jnp.int32(t)))
-        dt = time.perf_counter() - t0 - round_trip
-        best = min(best, max(dt, 1e-9))
+        np.asarray(run(data, refs, jnp.int32(t)))
+        best = min(best, time.perf_counter() - t0)
 
-    fps = n_frames / best
+    fps = k_iters * n_frames / best
+    measurement_invalid = bool(best < 10 * round_trip
+                               or (platform != "cpu" and best < 0.5))
     # host->device link bandwidth: end-to-end throughput is bounded by
     # moving ~6.3 MB of coefficients per 1080p frame across this link
     # (negligible on PCIe-attached TPU hosts; the dev tunnel is ~100x
@@ -251,6 +276,10 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 300.0, 3),
+        "measurement_invalid": measurement_invalid,
+        "timed_seconds": round(best, 3),
+        "chained_iters": k_iters,
+        "round_trip_s": round(round_trip, 4),
         "host_cores": host_cores,
     }
     out.update(e2e)
