@@ -73,6 +73,18 @@ def _load():
             u8p, u8p, i16p, i16p, i16p, i16p, u8p, u8p, u8p, u8p,
             ctypes.c_int32,
         ]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.jsv_parse_picture_slices_compact.restype = ctypes.c_int64
+        lib.jsv_parse_picture_slices_compact.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            u16p, u16p, u16p, u16p, i64p, i64p,
+            u8p, u8p, u8p, u8p,
+            u8p, u8p, i16p, u8p, i32p,
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -182,6 +194,55 @@ class NativeStreamParser:
             raise ValueError(
                 f"native parse failed: {_ERRORS.get(rc, rc)}")
         return int(rc)
+
+    def parse_picture_compact(self, data: np.ndarray, start_bit: int,
+                              hdr, mb_w: int, mb_h: int, yuva: bool,
+                              cpk: tuple, counts: tuple,
+                              mb_quant: np.ndarray, mb_intra: np.ndarray,
+                              mb_mv: np.ndarray, mb_rep_add: np.ndarray,
+                              n_threads: int = 1) -> tuple:
+        """Parse one picture into the compact coefficient wire format.
+
+        ``cpk`` are per-component uint16 entry buffers (capacity must be
+        >= n_blocks(comp) * 64; buffers may be pooled/uninitialised) and
+        ``counts`` the per-block entry-count arrays (uint8, MUST be
+        zeroed; (mb*4+block)-indexed for Y/alpha, mb-indexed chroma).
+        Returns ``(n_entries_per_comp, dirty)``; ``dirty`` means the
+        stream emitted blocks out of order (overlapping slices) and the
+        caller must fall back to the dense parse.
+        """
+        assert data.dtype == np.uint8 and data.flags.c_contiguous
+        null16 = ctypes.POINTER(ctypes.c_uint16)()
+        null8 = ctypes.POINTER(ctypes.c_uint8)()
+        n_out = np.zeros(4, np.int64)
+        dirty = np.zeros(1, np.int32)
+        caps = np.array([int(c.size) if c is not None else 0
+                         for c in (list(cpk) + [None] * 4)[:4]], np.int64)
+        rc = self._lib.jsv_parse_picture_slices_compact(
+            self._handle, _as(data, ctypes.c_uint8), data.size, start_bit,
+            mb_w, mb_h, hdr.picture_type,
+            1 if hdr.full_pel else 0, hdr.f_code, 1 if yuva else 0,
+            _as(cpk[0], ctypes.c_uint16),
+            _as(cpk[1], ctypes.c_uint16),
+            _as(cpk[2], ctypes.c_uint16),
+            (_as(cpk[3], ctypes.c_uint16) if yuva else null16),
+            _as(caps, ctypes.c_int64),
+            _as(n_out, ctypes.c_int64),
+            _as(counts[0], ctypes.c_uint8),
+            _as(counts[1], ctypes.c_uint8),
+            _as(counts[2], ctypes.c_uint8),
+            (_as(counts[3], ctypes.c_uint8) if yuva else null8),
+            _as(mb_quant, ctypes.c_uint8),
+            _as(mb_intra, ctypes.c_uint8),
+            _as(mb_mv, ctypes.c_int16),
+            _as(mb_rep_add, ctypes.c_uint8),
+            _as(dirty, ctypes.c_int32),
+            int(n_threads),
+        )
+        if rc < 0:
+            raise ValueError(
+                f"native compact parse failed: {_ERRORS.get(rc, rc)}")
+        return tuple(int(x) for x in n_out), bool(dirty[0])
 
 
 _parser_singleton = None

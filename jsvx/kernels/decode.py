@@ -348,8 +348,8 @@ def decode_frame_plane(comp_inputs: dict, ref: jax.Array, is_p: jax.Array,
                        quirk_oddify_zeros: bool = False, *, halo: int = 0,
                        row0=0, h_global: int | None = None,
                        mv_table: jax.Array | None = None,
-                       mv_pad: int = 72, mc_impl: str = "gather",
-                       mc_range: int = 16) -> jax.Array:
+                       mv_pad: int = 72,
+                       mc_impl: str = "gather") -> jax.Array:
     """One plane of one picture -> reconstructed uint8 plane.
 
     Uniform over I/P so a ``lax.scan`` over a GOP can carry the reference
@@ -391,8 +391,7 @@ def decode_frame_plane(comp_inputs: dict, ref: jax.Array, is_p: jax.Array,
 
 def decode_frame_planes(frame: dict, refs: tuple, consts: DecodeConstants,
                         quirk_oddify_zeros: bool = False,
-                        mv_pad: int = 72, mc_impl: str = "mvset",
-                        mc_range: int = 16) -> tuple:
+                        mv_pad: int = 72, mc_impl: str = "mvset") -> tuple:
     """All planes of one picture; ``refs`` = (Y, Cb, Cr[, A]) uint8."""
     is_p = frame["is_p"]
     mv_table = frame.get("mv_table")
@@ -400,7 +399,7 @@ def decode_frame_planes(frame: dict, refs: tuple, consts: DecodeConstants,
             mv_table is None or "mv_idx" not in frame["y"]):
         mc_impl = "gather"
     kw = dict(quirk_oddify_zeros=quirk_oddify_zeros, mv_table=mv_table,
-              mv_pad=mv_pad, mc_impl=mc_impl, mc_range=mc_range)
+              mv_pad=mv_pad, mc_impl=mc_impl)
     return tuple(
         decode_frame_plane(frame[k], refs[i], is_p, consts,
                            comp_is_chroma(i), **kw)
@@ -408,9 +407,9 @@ def decode_frame_planes(frame: dict, refs: tuple, consts: DecodeConstants,
 
 
 @functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",
-                                             "mc_impl", "mc_range"))
+                                             "mc_impl"))
 def decode_frame_jit(frame: dict, refs: tuple, consts: DecodeConstants,
                      quirk_oddify_zeros: bool = False,
-                     mc_impl: str = "mvset", mc_range: int = 16) -> tuple:
+                     mc_impl: str = "mvset") -> tuple:
     return decode_frame_planes(frame, refs, consts, quirk_oddify_zeros,
-                               mc_impl=mc_impl, mc_range=mc_range)
+                               mc_impl=mc_impl)

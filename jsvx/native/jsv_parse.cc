@@ -245,6 +245,112 @@ struct PictureCtx {
   int32_t yuva;            // 4th alpha component (4 extra blocks per MB)
 };
 
+// --- block-output policies -------------------------------------------------
+//
+// parse_block/parse_macroblock are templated on an Emit policy so the
+// dense path (scatter into caller plane buffers, the round-1/2 wire
+// format) and the compact path (append (scan_pos, level) entries — the
+// host->device wire format that ships coded coefficients only) share
+// one copy of the VLC hot loop.
+
+struct DenseEmit {
+  PictureOut* o;
+  const Parser* p;
+  const PictureCtx* c;
+  // per-block state
+  int16_t* dst = nullptr;
+  int stride = 0;
+  int comp = 0, by = 0, bx = 0;
+
+  inline void begin(int comp_, int by_, int bx_) {
+    comp = comp_; by = by_; bx = bx_;
+    stride = (comp == 0 || comp == 3) ? c->coded_w : (c->coded_w >> 1);
+    dst = o->levels[comp] + (int64_t)by * 8 * stride + bx * 8;
+    for (int i = 0; i < 8; ++i)
+      std::memset(dst + (int64_t)i * stride, 0, 16);
+  }
+  // intra DC (scan position 0), raw unclamped predictor value
+  inline void dc(int32_t v) { dst[0] = (int16_t)v; }
+  inline void coef(int n, int32_t level) {
+    uint32_t zz = p->zigzag[n];
+    dst[(zz >> 3) * stride + (zz & 7)] = (int16_t)level;
+  }
+  inline void end(int n, bool intra, const SliceState& s) {
+    if (o->mult[comp] != nullptr) {
+      // emit the per-pixel dequant sideband in the same pass
+      const uint8_t* m = intra ? o->intra_q : o->non_intra_q;
+      const int32_t q = s.quantizer_scale;
+      int16_t* md = o->mult[comp] + (int64_t)by * 8 * stride + bx * 8;
+      uint8_t* fd = o->flags[comp] + (int64_t)by * 8 * stride + bx * 8;
+      for (int i = 0; i < 8; ++i) {
+        for (int j = 0; j < 8; ++j) {
+          int pos = i * 8 + j;
+          md[j] = (int16_t)(q * m[pos]);
+          uint8_t f = intra ? 0 : 1;
+          if (p->zigzag_inv[pos] < n) f |= 2;
+          if (pos == 0 && intra) f |= 4;
+          fd[j] = f;
+        }
+        md += stride;
+        fd += stride;
+      }
+    }
+    uint8_t lnz = (uint8_t)(n > 255 ? 255 : n);
+    int lnz_stride = (comp == 0 || comp == 3) ? c->mb_w * 2 : c->mb_w;
+    o->lnz[comp][(int64_t)by * lnz_stride + bx] = lnz;
+  }
+};
+
+// Compact wire format, one uint16 per coded coefficient:
+//   (scan_pos:6 << 10) | (level + 512)
+// Levels always fit [-512, 511]: AC/escape levels are <= +-255
+// (jsv.js:1465-1480) and the intra-DC level is clamped to +-256 here,
+// which is output-invariant because dequantisation computes 8*dc and
+// clamps to [-2048, 2047] (shader COL_INT_3 semantics) — every |dc| >=
+// 256 saturates to the same value.  Per-block entry counts (uint8,
+// <= 64) in (mb_raster * 4 + block) order for Y/alpha and mb_raster
+// order for chroma give each entry its block identity on device.
+struct CompactEmit {
+  std::vector<uint16_t> vec[4];
+  uint8_t* counts[4] = {nullptr, nullptr, nullptr, nullptr};
+  const PictureCtx* c;
+  int64_t first_blk[4] = {-1, -1, -1, -1};
+  int64_t last_blk[4] = {-1, -1, -1, -1};
+  bool dirty = false;          // duplicate emission (overlapping slices)
+  // per-block state
+  int comp = 0;
+  int64_t blk = 0;
+  size_t base = 0;
+
+  inline void begin(int comp_, int by, int bx) {
+    comp = comp_;
+    if (comp == 0 || comp == 3) {
+      int row = by >> 1, col = bx >> 1;
+      int b = ((by & 1) << 1) | (bx & 1);
+      blk = ((int64_t)row * c->mb_w + col) * 4 + b;
+    } else {
+      blk = (int64_t)by * c->mb_w + bx;
+    }
+    base = vec[comp].size();
+  }
+  inline void dc(int32_t v) {
+    if (v > 256) v = 256;
+    else if (v < -256) v = -256;
+    vec[comp].push_back((uint16_t)(v + 512));    // scan_pos 0
+  }
+  inline void coef(int n, int32_t level) {
+    vec[comp].push_back((uint16_t)((n << 10) | (level + 512)));
+  }
+  inline void end(int n, bool, const SliceState&) {
+    (void)n;
+    size_t cnt = vec[comp].size() - base;
+    if (counts[comp][blk]) dirty = true;
+    counts[comp][blk] = (uint8_t)cnt;
+    if (first_blk[comp] < 0) first_blk[comp] = blk;
+    last_blk[comp] = blk;
+  }
+};
+
 inline int32_t decode_motion_component(BitReader& r, const Parser& p,
                                        const PictureCtx& c, int32_t& prev,
                                        bool full_pel) {
@@ -267,29 +373,24 @@ inline int32_t decode_motion_component(BitReader& r, const Parser& p,
 
 // Decode one 8x8 block into its plane position; mirrors
 // jsvx/bitstream/parser.py::_parse_block (spec: jsv.js:1338-1525).
+template <class Emit>
 inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
-                       PictureOut& o, SliceState& s, int row, int col,
+                       Emit& em, SliceState& s, int row, int col,
                        int block, bool intra) {
-  // Resolve the destination block up front; coefficients are scattered
-  // straight into the plane (zeroed first) — no staging buffer, no
-  // 64-value copy per block.
+  // Resolve the destination block up front; coefficients go straight to
+  // their final representation — no staging buffer, no 64-value copy.
   int comp, by, bx;
-  int stride;
   if (block < 4 || block >= 6) {
     comp = (block < 4) ? 0 : 3;
     int b = (block < 4) ? block : block - 6;
     by = row * 2 + ((b & 2) ? 1 : 0);
     bx = col * 2 + ((b & 1) ? 1 : 0);
-    stride = c.coded_w;
   } else {
     comp = (block == 4) ? 1 : 2;
     by = row;
     bx = col;
-    stride = c.coded_w >> 1;
   }
-  int16_t* dst = o.levels[comp] + (int64_t)by * 8 * stride + bx * 8;
-  for (int i = 0; i < 8; ++i)
-    std::memset(dst + (int64_t)i * stride, 0, 16);
+  em.begin(comp, by, bx);
 
   int n = 0;
   if (intra) {
@@ -312,7 +413,7 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     } else {
       dc = predictor;
     }
-    dst[0] = (int16_t)dc;
+    em.dc(dc);
     if (block < 4) s.dc_y = dc;
     else if (block >= 6) s.dc_a = dc;
     else if (block == 4) s.dc_cb = dc;
@@ -340,10 +441,7 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
       n = code >> 8;
     }
     if (r.bad) return kErrStall;
-    if (n <= 63) {
-      uint32_t zz = p.zigzag[n];
-      dst[(zz >> 3) * stride + (zz & 7)] = (int16_t)level;
-    }
+    if (n <= 63) em.coef(n, level);
     ++n;
   }
 
@@ -390,8 +488,7 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
       if (r.pos > r.n_bits) return kErrStall;
       n += (int)run;
       if (n > 63) break;                   // corrupt stream guard
-      uint32_t zz = p.zigzag[n];
-      dst[(zz >> 3) * stride + (zz & 7)] = (int16_t)level;
+      em.coef(n, level);
       ++n;
       continue;
     }
@@ -401,40 +498,19 @@ inline int parse_block(BitReader& r, const Parser& p, const PictureCtx& c,
     }
     n += (e >> 8) & 63;                    // run
     if (n > 63) break;                     // corrupt stream guard
-    uint32_t zz = p.zigzag[n];
-    dst[(zz >> 3) * stride + (zz & 7)] = (int16_t)(int16_t)(e >> 16);
+    em.coef(n, (int32_t)(int16_t)(e >> 16));
     ++n;
   }
 
-  if (o.mult[comp] != nullptr) {
-    // emit the per-pixel dequant sideband in the same pass
-    const uint8_t* m = intra ? o.intra_q : o.non_intra_q;
-    const int32_t q = s.quantizer_scale;
-    int16_t* md = o.mult[comp] + (int64_t)by * 8 * stride + bx * 8;
-    uint8_t* fd = o.flags[comp] + (int64_t)by * 8 * stride + bx * 8;
-    for (int i = 0; i < 8; ++i) {
-      for (int j = 0; j < 8; ++j) {
-        int pos = i * 8 + j;
-        md[j] = (int16_t)(q * m[pos]);
-        uint8_t f = intra ? 0 : 1;
-        if (p.zigzag_inv[pos] < n) f |= 2;
-        if (pos == 0 && intra) f |= 4;
-        fd[j] = f;
-      }
-      md += stride;
-      fd += stride;
-    }
-  }
-  uint8_t lnz = (uint8_t)(n > 255 ? 255 : n);
-  int lnz_stride = (comp == 0 || comp == 3) ? c.mb_w * 2 : c.mb_w;
-  o.lnz[comp][(int64_t)by * lnz_stride + bx] = lnz;
+  em.end(n, intra, s);
   return 0;
 }
 
 // Mirrors jsvx/bitstream/parser.py::_parse_macroblock (jsv.js:725-828).
+template <class Emit>
 inline int parse_macroblock(BitReader& r, const Parser& p,
                             const PictureCtx& c, PictureOut& o,
-                            SliceState& s, int32_t& mb_address,
+                            Emit& em, SliceState& s, int32_t& mb_address,
                             bool slice_begin) {
   const int32_t mb_size = c.mb_w * c.mb_h;
   int32_t increment = 0;
@@ -509,13 +585,13 @@ inline int parse_macroblock(BitReader& r, const Parser& p,
 
   for (int block = 0; block < 6; ++block) {
     if (cbp & (0x20 >> block)) {
-      int rc = parse_block(r, p, c, o, s, row, col, block, intra);
+      int rc = parse_block(r, p, c, em, s, row, col, block, intra);
       if (rc < 0) return rc;
     }
   }
   for (int ab = 0; ab < 4; ++ab) {       // alpha blocks 6..9 (YUVA)
     if (acbp & (0x8 >> ab)) {
-      int rc = parse_block(r, p, c, o, s, row, col, 6 + ab, intra);
+      int rc = parse_block(r, p, c, em, s, row, col, 6 + ab, intra);
       if (rc < 0) return rc;
     }
   }
@@ -532,6 +608,100 @@ inline int64_t find_start(const uint8_t* d, int64_t n, int64_t from) {
     else if (d[i + 1] != 0) i += 1;
   }
   return -1;
+}
+
+struct Span { int64_t begin; int64_t end; int code; };
+
+// Collect the picture's slice spans (slices are independently parseable:
+// own start code, own quantiser, per-slice predictor resets —
+// jsv.js:683-706).  Returns the byte offset of the first non-slice start
+// code (picture end) in `picture_end`.
+inline std::vector<Span> collect_spans(const uint8_t* data, int64_t n_bytes,
+                                       int64_t start_bit,
+                                       int64_t& picture_end) {
+  std::vector<Span> spans;
+  int64_t cursor = (start_bit + 7) >> 3;
+  picture_end = n_bytes;
+  for (;;) {
+    int64_t off = find_start(data, n_bytes, cursor);
+    if (off < 0) break;                      // end of stream = picture end
+    int code = data[off + 3];
+    if (code >= 0x01 && code <= 0xAF) {
+      if (!spans.empty() && spans.back().end > off)
+        spans.back().end = off;
+      spans.push_back({off + 4, n_bytes, code});
+      cursor = off + 4;
+    } else if (code == 0xB5 || code == 0xB2) {
+      if (!spans.empty() && spans.back().end > off)
+        spans.back().end = off;
+      cursor = off + 4;                      // extension / user data
+    } else {
+      if (!spans.empty() && spans.back().end > off)
+        spans.back().end = off;
+      picture_end = off;
+      break;
+    }
+  }
+  return spans;
+}
+
+template <class Emit>
+inline int parse_slice(const uint8_t* data, int64_t n_bytes, const Span& sp,
+                       const Parser& p, const PictureCtx& c, PictureOut& o,
+                       Emit& em) {
+  BitReader r(data, n_bytes);
+  r.pos = sp.begin * 8;
+  SliceState s;
+  int32_t mb_address = (sp.code - 1) * c.mb_w - 1;
+  s.quantizer_scale = int32_t(r.get(5));
+  while (r.get(1)) r.skip(8);                // extra slice information
+
+  bool slice_begin = true;
+  while (((r.pos + 7) >> 3) < sp.end) {
+    int rc = parse_macroblock(r, p, c, o, em, s, mb_address, slice_begin);
+    slice_begin = false;
+    if (rc == kErrOverrun) break;
+    if (rc < 0) return rc;
+    if (r.bad) return kErrStall;
+    if (mb_address >= c.mb_w * c.mb_h) break;
+  }
+  return 0;
+}
+
+// Fan the slices of one picture out over `emits` (one Emit per slice;
+// slices write disjoint plane rows / MB-grid rows, so they need no
+// synchronisation beyond the error word).
+template <class Emit>
+inline int run_slices(const uint8_t* data, int64_t n_bytes,
+                      const std::vector<Span>& spans, const Parser& p,
+                      const PictureCtx& c, PictureOut& o,
+                      std::vector<Emit>& emits, int32_t n_threads) {
+  if (n_threads > 1 && spans.size() > 1) {
+    int nt = n_threads < (int32_t)spans.size() ? n_threads
+                                               : (int32_t)spans.size();
+    std::atomic<int> rc_word{0};
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= spans.size() || rc_word.load(std::memory_order_relaxed))
+          return;
+        int rc = parse_slice(data, n_bytes, spans[i], p, c, o, emits[i]);
+        if (rc < 0) rc_word.store(rc);
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    if (int rc = rc_word.load()) return rc;
+  } else {
+    for (size_t i = 0; i < spans.size(); ++i) {
+      int rc = parse_slice(data, n_bytes, spans[i], p, c, o, emits[i]);
+      if (rc < 0) return rc;
+    }
+  }
+  return 0;
 }
 
 }  // namespace
@@ -602,81 +772,83 @@ int64_t jsv_parse_picture_slices(
     o.non_intra_q = non_intra_q;
   }
 
-  // Collect the picture's slice spans first (slices are independently
-  // parseable: own start code, own quantiser, per-slice predictor resets
-  // — jsv.js:683-706), then parse them serially or across threads.
-  struct Span { int64_t begin; int64_t end; int code; };
-  std::vector<Span> spans;
-  int64_t cursor = (start_bit + 7) >> 3;
-  int64_t picture_end = n_bytes;
-  for (;;) {
-    int64_t off = find_start(data, n_bytes, cursor);
-    if (off < 0) break;                      // end of stream = picture end
-    int code = data[off + 3];
-    if (code >= 0x01 && code <= 0xAF) {
-      if (!spans.empty() && spans.back().end > off)
-        spans.back().end = off;
-      spans.push_back({off + 4, n_bytes, code});
-      cursor = off + 4;
-    } else if (code == 0xB5 || code == 0xB2) {
-      if (!spans.empty() && spans.back().end > off)
-        spans.back().end = off;
-      cursor = off + 4;                      // extension / user data
-    } else {
-      if (!spans.empty() && spans.back().end > off)
-        spans.back().end = off;
-      picture_end = off;
-      break;
+  int64_t picture_end;
+  std::vector<Span> spans = collect_spans(data, n_bytes, start_bit,
+                                          picture_end);
+  std::vector<DenseEmit> emits(spans.size());
+  for (auto& em : emits) { em.o = &o; em.p = &p; em.c = &c; }
+  int rc = run_slices(data, n_bytes, spans, p, c, o, emits, n_threads);
+  if (rc < 0) return rc;
+  return picture_end;
+}
+
+// Compact-wire variant: coded coefficients are emitted as one uint16
+// per coefficient (see CompactEmit) instead of scattered into dense
+// planes — the host->device transfer then scales with the *coded*
+// content (like the bitstream itself, jsv.js:1206-1243 uploads dense
+// textures; this beats it) and the dense planes are reconstituted on
+// device by one scatter.  Outputs:
+//   cpk_*   per-component packed entry buffers (caller-sized; the safe
+//           capacity is n_blocks(comp) * 64 entries)
+//   n_out   int64[4]: entries written per component
+//   counts_* per-block entry counts, uint8, zeroed by the caller;
+//           Y/alpha indexed (mb*4 + block), chroma indexed mb
+//   dirty_out int32: 1 if a block was emitted twice or slices were
+//           emitted out of MB order (overlapping/corrupt streams) —
+//           the caller must re-parse densely; never set by valid
+//           streams.
+// Returns the picture-end byte offset or a negative error code.
+int64_t jsv_parse_picture_slices_compact(
+    void* handle, const uint8_t* data, int64_t n_bytes, int64_t start_bit,
+    int32_t mb_w, int32_t mb_h, int32_t picture_type, int32_t full_pel,
+    int32_t f_code, int32_t yuva,
+    uint16_t* cpk_y, uint16_t* cpk_cb, uint16_t* cpk_cr, uint16_t* cpk_a,
+    const int64_t* cpk_caps, int64_t* n_out,
+    uint8_t* counts_y, uint8_t* counts_cb, uint8_t* counts_cr,
+    uint8_t* counts_a,
+    uint8_t* mb_quant, uint8_t* mb_intra, int16_t* mb_mv,
+    uint8_t* mb_rep_add, int32_t* dirty_out, int32_t n_threads) {
+  Parser& p = *(Parser*)handle;
+  PictureCtx c{mb_w, mb_h, mb_w * 16, picture_type, full_pel, f_code, yuva};
+  PictureOut o;
+  o.mb_quant = mb_quant; o.mb_intra = mb_intra;
+  o.mb_mv = mb_mv; o.mb_rep_add = mb_rep_add;
+
+  int64_t picture_end;
+  std::vector<Span> spans = collect_spans(data, n_bytes, start_bit,
+                                          picture_end);
+  std::vector<CompactEmit> emits(spans.size());
+  uint8_t* counts[4] = {counts_y, counts_cb, counts_cr, counts_a};
+  for (auto& em : emits) {
+    em.c = &c;
+    for (int k = 0; k < 4; ++k) em.counts[k] = counts[k];
+  }
+  int rc = run_slices(data, n_bytes, spans, p, c, o, emits, n_threads);
+  if (rc < 0) return rc;
+
+  // Concatenate per-component entries in slice order; flag duplicate or
+  // out-of-order block emission (the device expansion maps entry order
+  // to cumulative per-block counts, which requires strictly increasing
+  // block indices across the picture).
+  uint16_t* cpk[4] = {cpk_y, cpk_cb, cpk_cr, cpk_a};
+  int64_t n_written[4] = {0, 0, 0, 0};
+  bool dirty = false;
+  int64_t prev_last[4] = {-1, -1, -1, -1};
+  for (auto& em : emits) {
+    if (em.dirty) dirty = true;
+    for (int k = 0; k < 4; ++k) {
+      if (em.vec[k].empty()) continue;
+      if (em.first_blk[k] <= prev_last[k]) dirty = true;
+      prev_last[k] = em.last_blk[k];
+      int64_t cnt = (int64_t)em.vec[k].size();
+      if (n_written[k] + cnt > cpk_caps[k]) return kErrOverrun;
+      std::memcpy(cpk[k] + n_written[k], em.vec[k].data(),
+                  (size_t)cnt * 2);
+      n_written[k] += cnt;
     }
   }
-
-  auto parse_one = [&](const Span& sp) -> int {
-    BitReader r(data, n_bytes);
-    r.pos = sp.begin * 8;
-    SliceState s;
-    int32_t mb_address = (sp.code - 1) * mb_w - 1;
-    s.quantizer_scale = int32_t(r.get(5));
-    while (r.get(1)) r.skip(8);              // extra slice information
-
-    bool slice_begin = true;
-    while (((r.pos + 7) >> 3) < sp.end) {
-      int rc = parse_macroblock(r, p, c, o, s, mb_address, slice_begin);
-      slice_begin = false;
-      if (rc == kErrOverrun) break;
-      if (rc < 0) return rc;
-      if (r.bad) return kErrStall;
-      if (mb_address >= mb_w * mb_h) break;
-    }
-    return 0;
-  };
-
-  if (n_threads > 1 && spans.size() > 1) {
-    // Slices write disjoint plane rows / MB-grid rows, so they fan out
-    // across threads with no synchronisation beyond the error word.
-    int nt = n_threads < (int32_t)spans.size() ? n_threads
-                                               : (int32_t)spans.size();
-    std::atomic<int> rc_word{0};
-    std::atomic<size_t> next{0};
-    auto worker = [&]() {
-      for (;;) {
-        size_t i = next.fetch_add(1);
-        if (i >= spans.size() || rc_word.load(std::memory_order_relaxed))
-          return;
-        int rc = parse_one(spans[i]);
-        if (rc < 0) rc_word.store(rc);
-      }
-    };
-    std::vector<std::thread> threads;
-    for (int t = 1; t < nt; ++t) threads.emplace_back(worker);
-    worker();
-    for (auto& th : threads) th.join();
-    if (int rc = rc_word.load()) return rc;
-  } else {
-    for (const Span& sp : spans) {
-      int rc = parse_one(sp);
-      if (rc < 0) return rc;
-    }
-  }
+  for (int k = 0; k < 4; ++k) n_out[k] = n_written[k];
+  *dirty_out = dirty ? 1 : 0;
   return picture_end;
 }
 

@@ -41,21 +41,8 @@ def zero_refs(coded_h: int, coded_w: int, n_comps: int = 3) -> tuple:
     return tuple(refs)
 
 
-@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",
-                                             "mc_impl", "mc_range",
-                                             "impl"))
-def decode_gop_scan(stacked: dict, init_refs: tuple,
-                    consts: DecodeConstants,
-                    quirk_oddify_zeros: bool = False,
-                    mc_impl: str = "mvset", mc_range: int = 16,
-                    impl: str = "xla") -> tuple:
-    """Decode a stacked GOP; returns ((Y, Cb, Cr) stacks, final refs).
-
-    The sequential P->I dependence is the scan carry; everything inside a
-    step is batched dense math (dequant + IDCT + MC over whole planes).
-    ``impl="pallas"`` uses the fused Pallas kernels (TPU fast path).
-    """
-
+def _gop_scan(stacked: dict, init_refs: tuple, consts: DecodeConstants,
+              quirk_oddify_zeros: bool, mc_impl: str, impl: str) -> tuple:
     def step(refs, frame):
         if impl == "fused":
             from ..kernels.pallas_fused import decode_frame_planes_fused
@@ -71,9 +58,46 @@ def decode_gop_scan(stacked: dict, init_refs: tuple,
         else:
             planes = decode_frame_planes(frame, refs, consts,
                                          quirk_oddify_zeros,
-                                         mc_impl=mc_impl,
-                                         mc_range=mc_range)
+                                         mc_impl=mc_impl)
         return planes, planes
 
     final_refs, outs = jax.lax.scan(step, init_refs, stacked)
     return outs, final_refs
+
+
+@functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",
+                                             "mc_impl", "impl"))
+def decode_gop_scan(stacked: dict, init_refs: tuple,
+                    consts: DecodeConstants,
+                    quirk_oddify_zeros: bool = False,
+                    mc_impl: str = "mvset",
+                    impl: str = "xla") -> tuple:
+    """Decode a stacked GOP; returns ((Y, Cb, Cr) stacks, final refs).
+
+    The sequential P->I dependence is the scan carry; everything inside a
+    step is batched dense math (dequant + IDCT + MC over whole planes).
+    ``impl="fused"`` uses the fused Pallas kernel (TPU fast path).
+    """
+    return _gop_scan(stacked, init_refs, consts, quirk_oddify_zeros,
+                     mc_impl, impl)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_h", "mb_w", "mc_impl",
+                                             "impl"))
+def decode_gop_scan_compact(stacked: dict, init_refs: tuple,
+                            consts: DecodeConstants, mb_h: int, mb_w: int,
+                            mc_impl: str = "mvset",
+                            impl: str = "xla") -> tuple:
+    """Decode a compact-wire GOP (see :mod:`jsvx.kernels.expand`).
+
+    The coefficient planes are reconstituted on device (one scatter)
+    inside the same compiled program as the scan, so the host->device
+    transfer carries only coded coefficients + per-MB sideband.
+    ``quirk_oddify_zeros`` is unsupported here: the quirk oddifies
+    positions outside the coded scan range, which the compact wire (by
+    design) does not distinguish — use the dense path for quirk decode.
+    """
+    from ..kernels.expand import expand_compact_gop
+
+    dense = expand_compact_gop(stacked, mb_h, mb_w)
+    return _gop_scan(dense, init_refs, consts, False, mc_impl, impl)

@@ -267,6 +267,146 @@ def parse_gop_packed(arr: np.ndarray, group: list, seq, meta,
     return PackedGop(stacked=out, fts=fts, index=index, pooled=levels)
 
 
+@dataclass
+class CompactGop:
+    """One GOP in the compact coefficient wire format (see
+    :mod:`jsvx.kernels.expand`): ``stacked`` is the device-ready pytree,
+    ``wire_bytes`` the actual host->device payload, ``dirty`` whether the
+    stream emitted blocks out of order (caller must fall back to the
+    dense parse for this GOP)."""
+
+    stacked: dict
+    hdrs: list
+    index: int = 0
+    pooled: list = field(default_factory=list)
+    wire_bytes: int = 0
+    dirty: bool = False
+
+
+def coef_bucket(n: int) -> int:
+    """Static entry-capacity buckets for the compact wire (limits
+    recompilation to a handful of sizes per stream)."""
+    b = 1 << 14
+    while b < n:
+        b <<= 1
+    return b
+
+
+def parse_gop_compact(arr: np.ndarray, group: list, seq, meta,
+                      pool: BufferPool, buckets: dict,
+                      mv_capacity: int = 0,
+                      n_threads: int | None = None,
+                      slice_threads: int = 1,
+                      index: int = 0) -> CompactGop:
+    """Parse one GOP into the compact wire format.
+
+    ``buckets`` maps component key -> sticky entry-capacity bucket; it is
+    grown in place so successive GOPs keep stable shapes (one compiled
+    expansion+decode program per bucket set).  ``mv_capacity`` as in
+    :func:`parse_gop_packed` (the distinct-MV table is required by the
+    fused kernels; 0 defers it to the caller via ``attach_mvset`` logic).
+    """
+    native = get_native_parser()
+    if native is None:
+        raise RuntimeError("compact parse requires the C++ parser")
+    n_comps = meta.n_components
+    mb_h, mb_w = seq.mb_height, seq.mb_width
+    n = len(group)
+    nblk = [mb_h * mb_w * 4, mb_h * mb_w, mb_h * mb_w,
+            mb_h * mb_w * 4][:n_comps]
+
+    counts = [np.zeros((n, nblk[c]), np.uint8) for c in range(n_comps)]
+    mb_quant = np.ones((n, mb_h, mb_w), np.uint8)
+    mb_intra = np.zeros((n, mb_h, mb_w), np.uint8)
+    mb_mv = np.zeros((n, mb_h, mb_w, 2), np.int16)
+    mb_rep_add = np.zeros((n, mb_h, mb_w), np.uint8)
+
+    # per-frame scratch is worst-case sized (nblk * 64 entries) but
+    # pooled; only the bucket-padded concatenation crosses the wire
+    scratch = [[pool.acquire((nblk[c] * 64,), np.uint16)
+                for c in range(n_comps)] for _ in range(n)]
+    ns = [None] * n
+    dirty = [False] * n
+
+    def run(i):
+        hdr, start_bit = group[i]
+        ns[i], dirty[i] = native.parse_picture_compact(
+            arr, start_bit, hdr, mb_w, mb_h, n_comps == 4,
+            tuple(scratch[i]) + (None,) * (4 - n_comps),
+            tuple(counts[c][i] for c in range(n_comps))
+            + (None,) * (4 - n_comps),
+            mb_quant[i], mb_intra[i], mb_mv[i], mb_rep_add[i],
+            n_threads=slice_threads)
+
+    if n_threads == 1 or n == 1:
+        for i in range(n):
+            run(i)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_threads) as tp:
+            list(tp.map(run, range(n)))
+
+    hdrs = [hdr for hdr, _ in group]
+    out = dict(
+        is_p=np.array([0 if h.picture_type == 1 else 1 for h in hdrs],
+                      np.int32),
+        f_code=np.array([h.f_code for h in hdrs], np.int32),
+    )
+    mb = dict(q=mb_quant, intra=mb_intra, rep_add=mb_rep_add, mv=mb_mv)
+    if mv_capacity:
+        tables = np.zeros((n, mv_capacity, 2), np.int32)
+        mv_counts = np.zeros((n,), np.int32)
+        mv_idx = np.zeros((n, mb_h, mb_w), np.int16)
+        for i in range(n):
+            uniq, inv = _mv_unique(mb_mv[i])
+            if len(uniq) > mv_capacity:
+                raise ValueError(
+                    f"{len(uniq)} distinct MVs exceed {mv_capacity}")
+            tables[i, :len(uniq)] = uniq
+            mv_counts[i] = len(uniq)
+            mv_idx[i] = inv.reshape(mb_h, mb_w).astype(np.int16)
+        out["mv_table"] = tables
+        out["mv_count"] = mv_counts
+        mb["mv_idx"] = mv_idx
+    out["mb"] = mb
+
+    coef = {}
+    pooled = []
+    for c in range(n_comps):
+        key = COMP_KEYS[c]
+        total = sum(int(ns[i][c]) for i in range(n))
+        bucket = max(buckets.get(key, 0), coef_bucket(total))
+        buckets[key] = bucket
+        wire = pool.acquire((bucket,), np.uint16)
+        off = 0
+        for i in range(n):
+            cnt = int(ns[i][c])
+            wire[off:off + cnt] = scratch[i][c][:cnt]
+            off += cnt
+        coef[key] = dict(cpk=wire, n=np.int32(total), counts=counts[c])
+        pooled.append(wire)
+    out["coef"] = coef
+    # scratch is host-side only (already concatenated): recycle now;
+    # the wire buffers in `pooled` recycle after the device reads them
+    for row in scratch:
+        for s in row:
+            pool.release(s)
+
+    wire_bytes = sum(int(np.asarray(leaf).nbytes)
+                     for leaf in _tree_leaves(out))
+    return CompactGop(stacked=out, hdrs=hdrs, index=index, pooled=pooled,
+                      wire_bytes=wire_bytes, dirty=any(dirty))
+
+
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    else:
+        yield tree
+
+
 def attach_mvset(g: PackedGop, mv_capacity: int, seq, meta,
                  uniqs: list | None = None) -> None:
     """Add the distinct-MV sideband to a GOP parsed with capacity 0."""

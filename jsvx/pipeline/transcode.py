@@ -54,12 +54,14 @@ def transcode(data: bytes, sink=None, *, impl: str | None = None,
         impl = default_impl()
 
     if get_native_parser() is not None:
-        return _transcode_packed(data, sink, impl=impl, manifest=manifest,
-                                 process_id=process_id,
-                                 process_count=process_count,
-                                 n_parse_threads=n_parse_threads,
-                                 quirk_oddify_zeros=quirk_oddify_zeros,
-                                 metrics=metrics)
+        # the compact wire format cannot express the oddify-zeros quirk
+        # (it oddifies positions the compact wire elides by design)
+        fn = _transcode_packed if quirk_oddify_zeros else _transcode_compact
+        return fn(data, sink, impl=impl, manifest=manifest,
+                  process_id=process_id, process_count=process_count,
+                  n_parse_threads=n_parse_threads,
+                  quirk_oddify_zeros=quirk_oddify_zeros,
+                  metrics=metrics)
 
     with metrics.timers.stage("parse"):
         parsed = parse_stream_parallel(data, n_threads=n_parse_threads)
@@ -115,6 +117,122 @@ def transcode(data: bytes, sink=None, *, impl: str | None = None,
 
     metrics.gauge("width", meta.width)
     metrics.gauge("height", meta.height)
+    return TranscodeResult(n_frames=n_frames, n_gops=len(todo),
+                           metrics=metrics, width=meta.width,
+                           height=meta.height)
+
+
+def _transcode_compact(data: bytes, sink, *, impl: str,
+                       manifest: GopManifest | None, process_id: int,
+                       process_count: int, n_parse_threads: int | None,
+                       quirk_oddify_zeros: bool,
+                       metrics: Metrics) -> TranscodeResult:
+    """Fastest path: compact coefficient wire (host->device bytes scale
+    with *coded* content, not plane area — see :mod:`jsvx.kernels.expand`)
+    + parse(g+1) pipelined against device decode(g).  GOPs whose streams
+    emit blocks out of order (overlapping slices in corrupt streams) fall
+    back to the dense wire per GOP.
+    """
+    import jax
+
+    from .gop import decode_gop_scan_compact
+    from .packed_parse import (BufferPool, attach_mvset, parse_gop_compact,
+                               parse_gop_packed, walk_stream, _mv_unique)
+    from ..kernels.decode import mv_bucket as mv_bucket_fn
+
+    assert not quirk_oddify_zeros
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    with metrics.timers.stage("parse"):
+        meta, seq, groups = walk_stream(data)
+    consts = make_constants(seq)
+    if manifest is None:
+        todo = list(range(len(groups)))
+    else:
+        todo = [s.index for s in manifest.pending(process_id, process_count)
+                if s.index < len(groups)]
+
+    cap = 0              # sticky distinct-MV bucket (few recompiles)
+    buckets: dict = {}   # sticky per-component coef-entry buckets
+    wire_total = 0
+
+    def parse_one(gi: int, pool: BufferPool):
+        nonlocal cap, wire_total
+        with metrics.timers.stage("parse"):
+            # MV capacity must be known before the mvset sideband is
+            # built; parse fills mb_mv either way, so derive the bucket
+            # from a capacity-0 parse and attach the sideband after.
+            g = parse_gop_compact(arr, groups[gi], seq, meta, pool,
+                                  buckets, 0, n_threads=n_parse_threads,
+                                  index=gi)
+            if g.dirty:
+                g = parse_gop_packed(arr, groups[gi], seq, meta, 0,
+                                     pool=pool, n_threads=n_parse_threads,
+                                     index=gi)
+                uniqs = [_mv_unique(ft.mb_mv) for ft in g.fts]
+                cap = max(cap, mv_bucket_fn(
+                    max((len(u[0]) + 1 for u in uniqs), default=1)))
+                if cap:
+                    attach_mvset(g, cap, seq, meta, uniqs=uniqs)
+            else:
+                mb_mv = g.stacked["mb"]["mv"]
+                n = mb_mv.shape[0]
+                cap = max(cap, mv_bucket_fn(max(
+                    (len(_mv_unique(mb_mv[i])[0]) + 1 for i in range(n)),
+                    default=1)))
+                if cap:
+                    tables = np.zeros((n, cap, 2), np.int32)
+                    mv_counts = np.zeros((n,), np.int32)
+                    mv_idx = np.zeros(mb_mv.shape[:3], np.int16)
+                    for i in range(n):
+                        uniq, inv = _mv_unique(mb_mv[i])
+                        tables[i, :len(uniq)] = uniq
+                        mv_counts[i] = len(uniq)
+                        mv_idx[i] = inv.reshape(
+                            mb_mv.shape[1:3]).astype(np.int16)
+                    g.stacked["mv_table"] = tables
+                    g.stacked["mv_count"] = mv_counts
+                    g.stacked["mb"]["mv_idx"] = mv_idx
+                wire_total += g.wire_bytes
+            # async upload overlaps the next GOP's parse
+            g.device_stacked = jax.device_put(g.stacked)
+        return g
+
+    pool = BufferPool()
+    n_frames = 0
+    nxt = parse_one(todo[0], pool) if todo else None
+    for i, gi in enumerate(todo):
+        g = nxt
+        compact = not getattr(g, "dirty", False) and hasattr(g, "hdrs")
+        with metrics.timers.stage("device_dispatch"):
+            refs = zero_refs(seq.coded_height, seq.coded_width,
+                             n_comps=meta.n_components)
+            if compact:
+                outs, _ = decode_gop_scan_compact(
+                    g.device_stacked, refs, consts,
+                    seq.mb_height, seq.mb_width,
+                    mc_impl="mvset" if cap else "gather", impl=impl)
+            else:
+                outs, _ = decode_gop_scan(
+                    g.device_stacked, refs, consts, False,
+                    mc_impl="mvset" if cap else "gather", impl=impl)
+        nxt = parse_one(todo[i + 1], pool) if i + 1 < len(todo) else None
+        with metrics.timers.stage("device_wait"):
+            jax.block_until_ready(outs)
+        for buf in g.pooled:
+            pool.release(buf)
+        if sink is not None:
+            with metrics.timers.stage("sink"):
+                sink(gi, outs)
+        nf = len(g.hdrs) if compact else len(g.fts)
+        n_frames += nf
+        metrics.count("frames", nf)
+        metrics.count("gops")
+        if manifest is not None:
+            manifest.mark_done(gi, frames=nf)
+
+    metrics.gauge("width", meta.width)
+    metrics.gauge("height", meta.height)
+    metrics.gauge("wire_bytes", wire_total)
     return TranscodeResult(n_frames=n_frames, n_gops=len(todo),
                            metrics=metrics, width=meta.width,
                            height=meta.height)
