@@ -104,13 +104,17 @@ def cmd_encode(args) -> int:
 
 def cmd_bench(args) -> int:
     from .pipeline.transcode import transcode
+    from .runtime.profiler import device_trace
 
     data = open(args.stream, "rb").read()
     t0 = time.perf_counter()
-    res = transcode(data)
+    with device_trace(args.trace):
+        res = transcode(data)
     dt = time.perf_counter() - t0
     out = res.metrics.to_dict()
     out["fps_end_to_end"] = round(res.n_frames / dt, 1)
+    if args.trace:
+        out["trace_dir"] = args.trace
     print(json.dumps(out, indent=2))
     return 0
 
@@ -140,6 +144,8 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench")
     pb.add_argument("stream")
+    pb.add_argument("--trace", default=None, metavar="DIR",
+                    help="write a jax.profiler device trace to DIR")
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

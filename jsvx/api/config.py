@@ -42,7 +42,8 @@ class PlayerConfig:
     quirk_oddify_zeros: bool = False   # reproduce reference dequant quirk
     use_native_parser: bool | None = None
     use_gop_scan: bool = True
-    emit_rgb: bool = False             # frames delivered as RGB not planes
+    emit_rgb: bool = False             # sink gets (H,W,3|4) uint8 RGB(A)
+                                       # converted on device, not planes
 
     def validate(self) -> None:
         if self.buffer_min_sec >= self.buffer_sec:

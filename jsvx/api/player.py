@@ -661,7 +661,10 @@ class Player(EventDispatcher):
         frame, t_ms = self._frames.pop(0)
         self._current_time_ms = t_ms
         if self._frame_sink is not None:
-            self._frame_sink(frame, t_ms / 1000.0)
+            if self.config.emit_rgb:
+                self._frame_sink(self._to_rgb(frame), t_ms / 1000.0)
+            else:
+                self._frame_sink(frame, t_ms / 1000.0)
         self.emit("frameout", frame, t_ms / 1000.0)
         self.emit("timeupdate")
         self.metrics.count("frames_displayed")
@@ -675,8 +678,29 @@ class Player(EventDispatcher):
         return self._fps.fps
 
     def set_frame_sink(self, fn) -> None:
-        """fn(DecodedFrame, t_seconds) — the render target."""
+        """fn(DecodedFrame, t_seconds) — the render target.
+
+        With ``config.emit_rgb`` the sink instead receives a display-size
+        (H, W, 3) uint8 RGB array — (H, W, 4) RGBA with the DECODED alpha
+        plane for YUVA streams — converted on device, the analog of the
+        reference's display-time YCbCrToRGBA pass
+        (``player/parts/end.js:77-156``)."""
         self._frame_sink = fn
+
+    def _to_rgb(self, frame):
+        """Device colour convert + crop to container size (planes are
+        coded-size, multiples of 16)."""
+        from ..kernels.color import ycbcr_to_rgb_jit
+
+        p = frame.planes
+        if len(p) >= 4:                    # YUVA: decoded alpha channel
+            rgb = ycbcr_to_rgb_jit(p[0], p[1], p[2], p[3])
+        else:
+            rgb = ycbcr_to_rgb_jit(p[0], p[1], p[2])
+        h, w = self.video_height, self.video_width
+        if h and w and rgb.shape[:2] != (h, w):
+            rgb = rgb[:h, :w]
+        return rgb
 
     def _underrun(self) -> None:
         self._waiting_count += 1

@@ -45,6 +45,19 @@ def test_cli_decode_rgb(stream_file, tmp_path, capsys):
     assert head.startswith(b"P6\n64 48\n255\n")
 
 
+def test_cli_bench_with_device_trace(stream_file, tmp_path, capsys):
+    """`jsvx bench --trace DIR` wraps the run in jax.profiler.trace and
+    leaves a trace artifact behind."""
+    path, _, _ = stream_file
+    trace_dir = str(tmp_path / "trace")
+    assert cli_main(["bench", path, "--trace", trace_dir]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["trace_dir"] == trace_dir
+    assert out["fps_end_to_end"] > 0
+    found = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert found, "profiler wrote no trace files"
+
+
 def test_cli_encode_roundtrip(stream_file, tmp_path, capsys):
     _, _, clip = stream_file
     npz = str(tmp_path / "frames.npz")

@@ -524,3 +524,54 @@ def test_player_pending_seek_while_streaming(stream):
     p._on_chunk(600, data[600:], len(data))
     assert seeked and not p.seeking
     assert 0.3 - p.current_time <= 0.151
+
+
+def test_player_emit_rgb(stream):
+    """config.emit_rgb: the sink receives a display-size (H, W, 3) uint8
+    RGB array converted on device (the reference's display-time
+    YCbCrToRGBA pass, player/parts/end.js:77-156)."""
+    data, _ = stream
+    p = Player(PlayerConfig(emit_rgb=True), backend="jax")
+    p.src = data
+    got, raw = [], []
+    p.set_frame_sink(lambda rgb, t: got.append(np.asarray(rgb)))
+    p.on("frameout", lambda f, t: raw.append(f))
+    p.play()
+    t = 0.0
+    while not got and t < 1.0:
+        t += 1 / 30.0
+        p.tick(t)
+    rgb = got[0]
+    assert rgb.shape == (48, 64, 3) and rgb.dtype == np.uint8
+    # pixel-exact against the float64 reference math on the same planes
+    from jsvx.tools.refmath import ycbcr_to_rgb
+
+    planes = [np.asarray(pl) for pl in raw[0].planes]
+    want = ycbcr_to_rgb(planes[0], planes[1], planes[2])[:48, :64]
+    diff = np.abs(rgb.astype(int) - want.astype(int))
+    assert diff.max() <= 1                 # float32-vs-float64 rounding
+    assert (diff == 0).mean() > 0.99
+    assert np.array_equal(rgb[20, 30], want[20, 30])
+
+
+def test_player_emit_rgb_yuva():
+    """YUVA streams deliver (H, W, 4) with the DECODED alpha plane."""
+    from conftest import synthetic_frames_yuva
+
+    clip = synthetic_frames_yuva(4, 48, 64, seed=8)
+    data = JsvEncoder(64, 48, EncoderConfig(
+        gop_size=4, quantizer_scale=4)).encode(clip)
+    p = Player(PlayerConfig(emit_rgb=True), backend="jax")
+    p.src = data
+    got, raw = [], []
+    p.set_frame_sink(lambda rgb, t: got.append(np.asarray(rgb)))
+    p.on("frameout", lambda f, t: raw.append(f))
+    p.play()
+    t = 0.0
+    while not got and t < 1.0:
+        t += 1 / 30.0
+        p.tick(t)
+    rgba = got[0]
+    assert rgba.shape == (48, 64, 4) and rgba.dtype == np.uint8
+    alpha = np.asarray(raw[0].planes[3])[:48, :64]
+    assert np.array_equal(rgba[..., 3], alpha)
