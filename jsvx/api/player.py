@@ -334,9 +334,17 @@ class Player(EventDispatcher):
             return
         s, e = plan
         if not getattr(self._source, "streaming", True):
-            # per-chunk transports: align request start down to a chunk
-            # boundary so successive requests tile (easybits.player.js:1872-1970)
-            s -= s % self.config.chunk_size
+            # per-chunk transports: align the start down AND the end up to
+            # chunk boundaries so successive requests tile exactly instead
+            # of re-downloading a partial final chunk's head
+            # (easybits.player.js:1895 ceils the end the same way)
+            cs = self.config.chunk_size
+            s -= s % cs
+            if e is not None:
+                e = ((e + 1 + cs - 1) // cs) * cs - 1
+                total = self.decoder.buffer.total_length
+                if total:
+                    e = min(e, total - 1)
         self.network_state = NetworkState.NETWORK_LOADING
         self._pending_request = self._source.request(
             s, e, self._on_chunk, on_error=self._on_net_error,

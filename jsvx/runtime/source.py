@@ -177,10 +177,13 @@ class HttpSource(ByteSource):
 
     Behaviors mirrored from ``features/http.js:145-424``:
 
-    * **strategy probing** — the first response tells us whether the server
-      honors ``Range`` (206/Content-Range).  If it replies 200 with the full
-      body we keep pumping that body and slice client-side, and flip
-      ``streaming``/``ranged`` so the player can align future requests.
+    * **strategy probing** — a response tells us whether the server honors
+      ``Range`` (206/Content-Range).  If it answers an explicit Range with
+      200, ``ranged`` flips False and the body is pumped to EOF in
+      whole-body mode (delivery starts at the requested offset): everything
+      paid for is buffered, the clean EOF marks end-of-stream, and the
+      player's hole planner never issues another windowed request — the
+      reference loader's ``onFirstChunk`` switch (``features/http.js``).
     * **sequential-chunk fallback** — ``sequential=True`` (the xhrLoader
       non-streaming mode) issues one Range request per ``chunk_size`` chunk
       instead of streaming a single long response.
@@ -230,9 +233,11 @@ class HttpSource(ByteSource):
         req = urllib.request.Request(url, headers=headers)
         return urllib.request.urlopen(req, timeout=self._timeout)
 
-    def _note_response(self, resp, start: int):
+    def _note_response(self, resp, start: int, sent_range: bool):
         """Probe the range strategy from a live response; returns the byte
-        offset the response body actually begins at."""
+        offset the response body actually begins at.  ``ranged`` is only
+        concluded False when a Range header was actually sent and the
+        server answered 200 anyway."""
         total = self._total
         cr = resp.headers.get("Content-Range")
         if cr and "/" in cr:
@@ -244,20 +249,25 @@ class HttpSource(ByteSource):
         code = getattr(resp, "status", None) or resp.getcode()
         if code == 206:
             self.ranged = True
-            return start
-        # 200: server ignored Range and sent the whole body from byte 0.
-        self.ranged = False if (start or cr is None) else self.ranged
+            return start, False
+        # 200: the server sent the whole body from byte 0.  That only
+        # proves it ignores Range if we asked for one.
+        if sent_range:
+            self.ranged = False
         cl = resp.headers.get("Content-Length")
         if code == 200 and cl and self._total is None:
             try:
                 self._total = int(cl)
             except ValueError:
                 pass
-        return 0 if code == 200 else start
+        return (0, True) if code == 200 else (start, False)
 
-    def _pump_body(self, resp, body_pos, start, end, on_data, chunk, flag):
+    def _pump_body(self, resp, body_pos, start, end, on_data, chunk, flag,
+                   prog=None):
         """Stream one response body, slicing off bytes before ``start``
-        (the unranged-200 case).  Returns the next byte to deliver."""
+        (the unranged-200 case).  Returns the next byte to deliver;
+        ``prog`` (a one-element list) tracks it live so a mid-read
+        exception still resumes from the last DELIVERED byte."""
         pos = start
         while not flag.cancelled:
             data = resp.read(chunk)
@@ -271,6 +281,8 @@ class HttpSource(ByteSource):
                 if payload:
                     on_data(pos, payload, self._total or 0)
                     pos += len(payload)
+                    if prog is not None:
+                        prog[0] = pos
             body_pos = seg_end
             if end is not None and pos > end:
                 break
@@ -304,14 +316,30 @@ class HttpSource(ByteSource):
             if not flag.attach(resp):
                 resp.close()
                 return
+            prog = [pos]
+            clean_eof = False
             try:
-                body_pos = self._note_response(resp, pos)
-                new_pos = self._pump_body(resp, body_pos, pos, req_end,
-                                          on_data, chunk, flag)
+                sent_range = bool(pos or req_end is not None)
+                body_pos, whole = self._note_response(resp, pos, sent_range)
+                pump_end = req_end
+                if whole:
+                    # A 200 body IS the whole resource: deliver all of it
+                    # (the reference loader's whole-body switch,
+                    # features/http.js onFirstChunk) instead of discarding
+                    # the tail and re-downloading from byte 0 per window.
+                    pump_end = None
+                new_pos = self._pump_body(resp, body_pos, pos, pump_end,
+                                          on_data, chunk, flag, prog)
+                clean_eof = whole
             except Exception as e:
                 flag.detach()
                 if flag.cancelled:
                     return
+                if prog[0] > pos:
+                    # partial body delivered: resume from the last
+                    # DELIVERED byte and reset the attempt budget
+                    pos = prog[0]
+                    attempts = 0
                 attempts += 1
                 if attempts > self._retries:
                     if on_error:
@@ -331,6 +359,11 @@ class HttpSource(ByteSource):
                 attempts = 0
             if flag.cancelled:
                 return
+            if clean_eof:
+                # a 200 body is pumped to EOF: its clean EOF is
+                # end-of-stream — never re-download to probe for more
+                self._total = max(self._total or 0, pos)
+                break
             done_to = end if end is not None else (
                 None if self._total is None else self._total - 1)
             if done_to is not None and pos > done_to:
@@ -413,8 +446,10 @@ class ChaosSource(ByteSource):
         self._inner.cancel(handle)
 
 
-def source_for(src: str | bytes) -> ByteSource:
-    """src string/bytes -> appropriate ByteSource."""
+def source_for(src: "str | bytes | ByteSource") -> ByteSource:
+    """src string/bytes/ByteSource -> appropriate ByteSource."""
+    if isinstance(src, ByteSource):
+        return src
     if isinstance(src, (bytes, bytearray)):
         return MemorySource(bytes(src))
     if src.startswith("http://") or src.startswith("https://"):

@@ -128,14 +128,34 @@ def test_ranged_fetch(server_factory):
     assert src.total_length() == len(PAYLOAD)
 
 
-def test_unranged_server_probed_and_sliced(server_factory):
+def test_unranged_server_switches_to_whole_body(server_factory):
     """Server ignores Range (200 full body): probing flips ``ranged`` and
-    the requested window is still delivered exactly, sliced client-side."""
+    the body is pumped to EOF in whole-body mode — everything paid for is
+    delivered (from the requested offset), end-of-stream is recorded, and
+    NO second request re-downloads the file (the reference loader's
+    onFirstChunk switch, features/http.js)."""
     url, state = server_factory("no-range")
     src = HttpSource(url, timeout=5.0)
     data = _collect(src, 100_000, 140_000)
-    assert data == PAYLOAD[100_000:140_001]
+    assert data == PAYLOAD[100_000:]       # tail delivered, not discarded
     assert src.ranged is False
+    assert src._total == len(PAYLOAD)      # clean 200 EOF = end-of-stream
+    assert len(state["requests"]) == 1     # one body, no re-download
+
+
+def test_unranged_open_request_completes_without_retries(server_factory):
+    """request(0, None) against a 200 server: a clean EOF completes
+    immediately — no retry loop re-downloading the body (ADVICE r2)."""
+    url, state = server_factory("no-range")
+    src = HttpSource(url, timeout=5.0, retries=3, backoff_s=0.2)
+    t0 = time.time()
+    data = _collect(src, 0, None)
+    assert data == PAYLOAD
+    assert len(state["requests"]) == 1
+    assert time.time() - t0 < 3.0          # no backoff sleeps
+    # no Range header was ever sent, so range support was never probed
+    assert state["requests"] == [None]
+    assert src.ranged is None
 
 
 def test_retry_resumes_after_mid_body_failure(server_factory):

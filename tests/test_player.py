@@ -575,3 +575,47 @@ def test_player_emit_rgb_yuva():
     assert rgba.shape == (48, 64, 4) and rgba.dtype == np.uint8
     alpha = np.asarray(raw[0].planes[3])[:48, :64]
     assert np.array_equal(rgba[..., 3], alpha)
+
+
+def test_request_alignment_tiles_chunks(stream):
+    """Non-streaming transports align the start DOWN and the end UP to
+    chunk boundaries so successive requests tile exactly
+    (easybits.player.js:1895)."""
+    data, _ = stream
+
+    from jsvx.runtime.source import ByteSource
+
+    class FakeSource(ByteSource):
+        streaming = False
+
+        def __init__(self):
+            self.requests = []
+
+        def total_length(self):
+            return len(data)
+
+        def request(self, s, e, on_data, on_error=None, on_complete=None,
+                    chunk_size=300000):
+            self.requests.append((s, e))
+            # deliver open-ended requests only partially (with the total)
+            # so the planner issues BOUNDED follow-up windows
+            stop = (e + 1) if e is not None else min(s + 150, len(data))
+            on_data(s, data[s:stop], len(data))
+            if on_complete:
+                on_complete()
+            return object()
+
+        def cancel(self, h):
+            pass
+
+    p = Player(PlayerConfig(chunk_size=100), backend="oracle")
+    src = FakeSource()
+    p._sources = [type("V", (), {"src": src, "bitrate": 0})()]
+    p.load()
+    assert src.requests, "player issued no range requests"
+    windowed = [(s, e) for s, e in src.requests if e is not None]
+    for s, e in src.requests:
+        assert s % 100 == 0
+        if e is not None and e != len(data) - 1:
+            assert (e + 1) % 100 == 0
+    assert windowed, "no windowed request exercised the end-ceiling"
