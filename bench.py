@@ -286,11 +286,29 @@ def bench_scaling(budget_s: float = 300.0) -> dict:
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from jsvx.kernels.decode import make_constants
     from jsvx.pipeline.gop import decode_gop_scan, zero_refs
+
+    # persistent XLA compilation cache: the bench compiles several large
+    # programs (chained scan, e2e scan, 3 kernel impls at two shapes);
+    # repeat driver runs must not pay cold-compile time again
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JSVX_JIT_CACHE",
+                                         "/tmp/jsvx_jit_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("JSVX_BENCH_BUDGET_S", "900"))
+
+    def left() -> float:
+        return budget_s - (time.monotonic() - t_start)
 
     platform = jax.devices()[0].platform
     impl = "xla" if platform == "cpu" else "fused"
@@ -385,14 +403,20 @@ def main() -> None:
         e2e.update(bench_device_correctness())
     except Exception as e:
         e2e["correctness_error"] = repr(e)[:200]
-    try:
-        e2e.update(bench_1080p_parity())
-    except Exception as e:
-        e2e["parity_1080p_error"] = repr(e)[:200]
-    try:
-        e2e.update(bench_scaling())
-    except Exception as e:
-        e2e["scaling_error"] = repr(e)[:200]
+    if left() > 120:
+        try:
+            e2e.update(bench_1080p_parity())
+        except Exception as e:
+            e2e["parity_1080p_error"] = repr(e)[:200]
+    else:
+        e2e["parity_1080p"] = "skipped_time_budget"
+    if left() > 90:
+        try:
+            e2e.update(bench_scaling(budget_s=max(left() - 30, 60)))
+        except Exception as e:
+            e2e["scaling_error"] = repr(e)[:200]
+    else:
+        e2e["scaling"] = "skipped_time_budget"
     host_cores = __import__("os").cpu_count()
     out = {
         "metric": "1080p_device_decode_frames_per_s_per_chip",

@@ -257,6 +257,8 @@ struct DenseEmit {
   PictureOut* o;
   const Parser* p;
   const PictureCtx* c;
+
+  inline void hint(int64_t) {}
   // per-block state
   int16_t* dst = nullptr;
   int stride = 0;
@@ -321,6 +323,15 @@ struct CompactEmit {
   int comp = 0;
   int64_t blk = 0;
   size_t base = 0;
+
+  inline void hint(int64_t span_bytes) {
+    // entries average well under 8 bits each in dense content; one
+    // up-front reserve per slice kills push_back realloc churn in the
+    // per-coefficient hot loop (Y gets most of the coefficients)
+    vec[0].reserve((size_t)span_bytes + (size_t)span_bytes / 2);
+    for (int k = 1; k < 4; ++k)
+      if (counts[k]) vec[k].reserve((size_t)span_bytes / 2);
+  }
 
   inline void begin(int comp_, int by, int bx) {
     comp = comp_;
@@ -651,6 +662,7 @@ inline int parse_slice(const uint8_t* data, int64_t n_bytes, const Span& sp,
                        Emit& em) {
   BitReader r(data, n_bytes);
   r.pos = sp.begin * 8;
+  em.hint(sp.end - sp.begin);
   SliceState s;
   int32_t mb_address = (sp.code - 1) * c.mb_w - 1;
   s.quantizer_scale = int32_t(r.get(5));

@@ -81,6 +81,8 @@ def _run_procs(stream: str, n: int, pin: bool = False,
         # (per-host parse+decode are physically private in a pod; the
         # device stage is measured by the single-chip bench)
         env["JSVX_SCALING_CPU"] = "1"
+        # share a persistent XLA cache so repeat trials skip compiles
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jsvx_jit_cache")
     ncores = os.cpu_count() or 1
     procs = []
     t0 = time.perf_counter()
