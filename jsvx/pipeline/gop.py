@@ -101,3 +101,25 @@ def decode_gop_scan_compact(stacked: dict, init_refs: tuple,
 
     dense = expand_compact_gop(stacked, mb_h, mb_w)
     return _gop_scan(dense, init_refs, consts, False, mc_impl, impl)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "mb_h", "mb_w",
+                                             "mc_impl", "impl"))
+def decode_gop_scan_wire(buf, spec: tuple, init_refs: tuple,
+                         consts: DecodeConstants, mb_h: int, mb_w: int,
+                         mc_impl: str = "mvset",
+                         impl: str = "xla") -> tuple:
+    """Decode a compact GOP shipped as ONE contiguous uint8 buffer.
+
+    ``buf`` is the single-transfer wire (:mod:`jsvx.pipeline.wire`);
+    ``spec`` the static layout.  Unpacking is static slices + bitcasts
+    that XLA fuses into the expansion scatter, so against
+    :func:`decode_gop_scan_compact` this costs nothing on device and
+    saves a per-leaf host round trip on high-latency links.
+    """
+    from ..kernels.expand import expand_compact_gop
+    from .wire import unflatten_wire
+
+    stacked = unflatten_wire(buf, spec)
+    dense = expand_compact_gop(stacked, mb_h, mb_w)
+    return _gop_scan(dense, init_refs, consts, False, mc_impl, impl)

@@ -135,9 +135,10 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
     """
     import jax
 
-    from .gop import decode_gop_scan_compact
+    from .gop import decode_gop_scan_wire
     from .packed_parse import (BufferPool, attach_mvset, parse_gop_compact,
                                parse_gop_packed, walk_stream, _mv_unique)
+    from .wire import flatten_wire, wire_spec
     from ..kernels.decode import mv_bucket as mv_bucket_fn
 
     assert not quirk_oddify_zeros
@@ -192,9 +193,18 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
                     g.stacked["mv_table"] = tables
                     g.stacked["mv_count"] = mv_counts
                     g.stacked["mb"]["mv_idx"] = mv_idx
-                wire_total += g.wire_bytes
-            # async upload overlaps the next GOP's parse
-            g.device_stacked = jax.device_put(g.stacked)
+                # ONE contiguous buffer -> ONE host->device transfer per
+                # GOP (vs one per pytree leaf): on high-latency links the
+                # per-leaf round trips, not bandwidth, bound throughput
+                g.wire_spec = wire_spec(g.stacked)
+                buf = pool.acquire((g.wire_spec[1],), np.uint8)
+                flatten_wire(g.stacked, g.wire_spec, out=buf)
+                g.pooled.append(buf)
+                g.device_wire = jax.device_put(buf)
+                wire_total += buf.nbytes
+            if not hasattr(g, "device_wire"):
+                # dense fallback; async upload overlaps the next parse
+                g.device_stacked = jax.device_put(g.stacked)
         return g
 
     pool = BufferPool()
@@ -202,13 +212,13 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
     nxt = parse_one(todo[0], pool) if todo else None
     for i, gi in enumerate(todo):
         g = nxt
-        compact = not getattr(g, "dirty", False) and hasattr(g, "hdrs")
+        compact = hasattr(g, "device_wire")
         with metrics.timers.stage("device_dispatch"):
             refs = zero_refs(seq.coded_height, seq.coded_width,
                              n_comps=meta.n_components)
             if compact:
-                outs, _ = decode_gop_scan_compact(
-                    g.device_stacked, refs, consts,
+                outs, _ = decode_gop_scan_wire(
+                    g.device_wire, g.wire_spec, refs, consts,
                     seq.mb_height, seq.mb_width,
                     mc_impl="mvset" if cap else "gather", impl=impl)
             else:
