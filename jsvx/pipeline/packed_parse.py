@@ -285,10 +285,16 @@ class CompactGop:
 
 def coef_bucket(n: int) -> int:
     """Static entry-capacity buckets for the compact wire (limits
-    recompilation to a handful of sizes per stream)."""
+    recompilation to a handful of sizes per stream).
+
+    1.25x geometric steps (8192-entry aligned): power-of-two buckets
+    wasted up to ~50% of the wire as padding — on bandwidth-bound
+    host->device links the padding is paid in real transfer time.  The
+    sticky per-stream bucket map still bounds recompiles to a handful.
+    """
     b = 1 << 14
     while b < n:
-        b <<= 1
+        b = -(-(b + b // 4) // 8192) * 8192
     return b
 
 

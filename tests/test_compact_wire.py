@@ -96,13 +96,18 @@ def test_compact_wire_is_smaller_than_dense():
     assert 0 < comp.wire_bytes < dense_bytes
 
 
-def test_coef_bucket_monotone_pow2():
+def test_coef_bucket_monotone_low_waste():
     assert coef_bucket(1) == 1 << 14
     assert coef_bucket(1 << 14) == 1 << 14
-    assert coef_bucket((1 << 14) + 1) == 1 << 15
-    for n in (3, 100000, 9_000_000):
+    prev = 0
+    for n in (3, 20000, 100000, 2_703_902, 9_000_000):
         b = coef_bucket(n)
-        assert b >= n and (b & (b - 1)) == 0
+        assert b >= n and b % 8192 == 0
+        assert b >= prev                      # monotone in n
+        prev = b
+        if n > 1 << 14:
+            # padding waste is bounded by the 1.25x step (+ alignment)
+            assert b <= n * 5 // 4 + 8192, (n, b)
 
 
 def test_expand_levels_padding_is_dropped():
