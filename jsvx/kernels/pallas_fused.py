@@ -59,6 +59,10 @@ def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
     h_win = win_ref.shape[1]
     n_valid = mv_ref[2 * k_cap]
     is_p = mv_ref[2 * k_cap + 1]
+    # dynamic MC loop bound: iterations = the frame's ACTUAL distinct-MV
+    # count (0 for I pictures), so compile time no longer scales with the
+    # k_cap bucket and runtime no longer pays for table padding
+    n_iter = jnp.where(is_p > 0, n_valid, 0)
 
     # ---- motion compensation into VMEM scratch --------------------------
     def aligned_parts(k):
@@ -75,55 +79,56 @@ def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
             ref_hbm.at[pl.ds(row0, h_win), pl.ds(col0, w_win)],
             win_ref.at[slot], sems.at[slot])
 
-    @pl.when(is_p > 0)
+    @pl.when(n_iter > 0)
     def _():
         start_dma(0, 0).start()
     pred_ref[:] = jnp.zeros((th, w), jnp.int16)
     sel = sel_ref[:].astype(jnp.int32)
 
-    for k in range(k_cap):
-        slot = k % 2
-        if k + 1 < k_cap:
-            @pl.when((is_p > 0) & (k + 1 < n_valid))
-            def _(k=k, slot=slot):
-                start_dma(k + 1, 1 - slot).start()
+    def mc_body(k, carry):
+        slot = jax.lax.rem(k, 2)
 
-        @pl.when((is_p > 0) & (k < n_valid))
-        def _(k=k, slot=slot):
-            start_dma(k, slot).wait()
-            _, _, ry, rx = aligned_parts(k)
-            win = win_ref[slot][:].astype(jnp.int32)   # rotate needs 32-bit
-            win = pltpu.roll(win, (h_win - ry) % h_win, 0)
-            win = pltpu.roll(win, (w_win - rx) % w_win, 1)
-            _, oy, _, ox = _mv_parts(mv_ref, k, is_chroma)
-            sel_k = sel == k
+        @pl.when(k + 1 < n_iter)
+        def _():
+            start_dma(k + 1, 1 - slot).start()
 
-            # specialize per half-pel case (shader INTER_1's odd_h/odd_v):
-            # full-pel MVs — the common case in real streams — reduce to a
-            # single select instead of a 4-tap blend
-            @pl.when((ox == 0) & (oy == 0))
-            def _():
-                pred_ref[:] = jnp.where(
-                    sel_k, win[0:th, 0:w].astype(jnp.int16), pred_ref[:])
+        start_dma(k, slot).wait()
+        _, _, ry, rx = aligned_parts(k)
+        win = win_ref[slot].astype(jnp.int32)      # rotate needs 32-bit
+        win = pltpu.roll(win, (h_win - ry) % h_win, 0)
+        win = pltpu.roll(win, (w_win - rx) % w_win, 1)
+        _, oy, _, ox = _mv_parts(mv_ref, k, is_chroma)
+        sel_k = sel == k
 
-            @pl.when((ox == 1) & (oy == 0))
-            def _():
-                interp = ((win[0:th, 0:w] + win[0:th, 1:w + 1] + 1)
-                          >> 1).astype(jnp.int16)
-                pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
+        # specialize per half-pel case (shader INTER_1's odd_h/odd_v):
+        # full-pel MVs — the common case in real streams — reduce to a
+        # single select instead of a 4-tap blend
+        @pl.when((ox == 0) & (oy == 0))
+        def _():
+            pred_ref[:] = jnp.where(
+                sel_k, win[0:th, 0:w].astype(jnp.int16), pred_ref[:])
 
-            @pl.when((ox == 0) & (oy == 1))
-            def _():
-                interp = ((win[0:th, 0:w] + win[1:th + 1, 0:w] + 1)
-                          >> 1).astype(jnp.int16)
-                pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
+        @pl.when((ox == 1) & (oy == 0))
+        def _():
+            interp = ((win[0:th, 0:w] + win[0:th, 1:w + 1] + 1)
+                      >> 1).astype(jnp.int16)
+            pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
 
-            @pl.when((ox == 1) & (oy == 1))
-            def _():
-                interp = ((win[0:th, 0:w] + win[0:th, 1:w + 1]
-                           + win[1:th + 1, 0:w] + win[1:th + 1, 1:w + 1]
-                           + 2) >> 2).astype(jnp.int16)
-                pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
+        @pl.when((ox == 0) & (oy == 1))
+        def _():
+            interp = ((win[0:th, 0:w] + win[1:th + 1, 0:w] + 1)
+                      >> 1).astype(jnp.int16)
+            pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
+
+        @pl.when((ox == 1) & (oy == 1))
+        def _():
+            interp = ((win[0:th, 0:w] + win[0:th, 1:w + 1]
+                       + win[1:th + 1, 0:w] + win[1:th + 1, 1:w + 1]
+                       + 2) >> 2).astype(jnp.int16)
+            pred_ref[:] = jnp.where(sel_k, interp, pred_ref[:])
+        return carry
+
+    jax.lax.fori_loop(0, n_iter, mc_body, jnp.int32(0))
 
     # ---- dequantise (reference COL_* integer semantics) -----------------
     lv = lv_ref[:].astype(jnp.int32)

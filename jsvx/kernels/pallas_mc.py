@@ -66,30 +66,34 @@ def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
     pred_ref[:] = jnp.zeros((th, w), jnp.int16)
     idx = idx_ref[:].astype(jnp.int32)
 
-    for k in range(k_cap):
-        slot = k % 2
-        if k + 1 < k_cap:
-            @pl.when(k + 1 < n_valid)
-            def _(k=k, slot=slot):
-                start_dma(k + 1, 1 - slot).start()
+    # dynamic loop bound: iterate the frame's ACTUAL distinct-MV count —
+    # compile time stops scaling with the k_cap bucket and padded table
+    # rows cost nothing at runtime
+    def mc_body(k, carry):
+        slot = jax.lax.rem(k, 2)
 
-        @pl.when(k < n_valid)
-        def _(k=k, slot=slot):
-            start_dma(k, slot).wait()
-            _, _, ry, rx = aligned_parts(k)
-            # dynamic rotate needs 32-bit lanes
-            win = win_ref[slot][:].astype(jnp.int32)
-            win = pltpu.roll(win, (h_win - ry) % h_win, 0)
-            win = pltpu.roll(win, (w_win - rx) % w_win, 1)
-            _, oy, _, ox = _mv_parts(mv_ref, k, is_chroma)
-            a = win[0:th, 0:w]
-            b = win[0:th, 1:w + 1]
-            c = win[1:th + 1, 0:w]
-            d = win[1:th + 1, 1:w + 1]
-            bias = (ox + oy + ox * oy + 1) >> 1
-            interp = ((a + ox * b + oy * c + (ox * oy) * d + bias)
-                      >> (ox + oy)).astype(jnp.int16)
-            pred_ref[:] = jnp.where(idx == k, interp, pred_ref[:])
+        @pl.when(k + 1 < n_valid)
+        def _():
+            start_dma(k + 1, 1 - slot).start()
+
+        start_dma(k, slot).wait()
+        _, _, ry, rx = aligned_parts(k)
+        # dynamic rotate needs 32-bit lanes
+        win = win_ref[slot].astype(jnp.int32)
+        win = pltpu.roll(win, (h_win - ry) % h_win, 0)
+        win = pltpu.roll(win, (w_win - rx) % w_win, 1)
+        _, oy, _, ox = _mv_parts(mv_ref, k, is_chroma)
+        a = win[0:th, 0:w]
+        b = win[0:th, 1:w + 1]
+        c = win[1:th + 1, 0:w]
+        d = win[1:th + 1, 1:w + 1]
+        bias = (ox + oy + ox * oy + 1) >> 1
+        interp = ((a + ox * b + oy * c + (ox * oy) * d + bias)
+                  >> (ox + oy)).astype(jnp.int16)
+        pred_ref[:] = jnp.where(idx == k, interp, pred_ref[:])
+        return carry
+
+    jax.lax.fori_loop(0, n_valid, mc_body, jnp.int32(0))
     rep = rep_ref[:].astype(jnp.int32)   # i16 compare unsupported
     out_ref[:] = jnp.where(rep > 0, jnp.int16(0), pred_ref[:])
 
