@@ -28,9 +28,18 @@ host parse is benchmarked separately (python -m jsvx.tools.bench_parse).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+
+
+def _stage(msg: str) -> None:
+    """Stage progress to stderr (stdout stays the one JSON line)."""
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def build_gop(mb_h: int, mb_w: int, n_frames: int, seed: int = 0):
@@ -261,8 +270,11 @@ def bench_1080p_parity() -> dict:
     frame = _synthetic_frame_inputs(mb_h, mb_w, is_p=True, seed=23,
                                     max_mv=24, mv_capacity=128)
     consts = make_constants()
+    # arbiter: the XLA *gather* MC path — bit-identical to mvset (the
+    # 96x128 gate and tests pin that down) but compiles in seconds at
+    # 1080p, where the K-plane mvset XLA program takes minutes
     xla = [np.asarray(p) for p in decode_frame_planes(
-        frame, refs, consts, mc_impl="mvset")]
+        frame, refs, consts, mc_impl="gather")]
     pal = decode_frame_planes_pallas(frame, refs, consts)
     fus = decode_frame_planes_fused(frame, refs, consts)
     bad = sum(1 for a, b in zip(xla, pal)
@@ -335,16 +347,16 @@ def main() -> None:
                 + jnp.sum(outs[1].astype(jnp.int32))
                 + jnp.sum(outs[2].astype(jnp.int32)))
 
-    def make_chained(k_iters: int):
-        # K GOP scans inside one program, serialised by a data
-        # dependency: iteration i's input shifts by iteration i-1's
-        # checksum mod 5.  No iteration can be elided or cached.
-        @jax.jit
-        def chained(s, r, seed):
-            def body(_, chk):
-                return decode_chk(s, r, chk % 5)
-            return jax.lax.fori_loop(0, k_iters, body, seed)
-        return chained
+    # K GOP scans inside one program, serialised by a data dependency:
+    # iteration i's input shifts by iteration i-1's checksum mod 5.  No
+    # iteration can be elided or cached.  The trip count is TRACED (one
+    # compile serves calibration and the timed run — compiling this
+    # program twice cost ~8 min of bench wall time on the axon backend).
+    @jax.jit
+    def chained(k, s, r, seed):
+        def body(_, chk):
+            return decode_chk(s, r, chk % 5)
+        return jax.lax.fori_loop(0, k, body, seed)
 
     @jax.jit
     def trivial(x):
@@ -361,10 +373,10 @@ def main() -> None:
     jax.block_until_ready(data)
 
     # calibrate K so one timed call covers >= ~1.2 s of device work
-    probe = make_chained(2)
-    np.asarray(probe(data, refs, jnp.int32(99)))      # compile + warm
+    np.asarray(chained(jnp.int32(2), data, refs, jnp.int32(99)))  # compile
+    _stage("chained program compiled")
     t0 = time.perf_counter()
-    np.asarray(probe(data, refs, jnp.int32(1)))
+    np.asarray(chained(jnp.int32(2), data, refs, jnp.int32(1)))
     # calibration only: net out the (dominant, jittery) tunnel round-trip
     # to estimate per-scan device time; the timed run below never
     # subtracts anything
@@ -372,15 +384,15 @@ def main() -> None:
     k_iters = max(2, int(np.ceil(1.2 / per_scan)))
     if platform == "cpu":
         k_iters = min(k_iters, 4)          # CI smoke: keep CPU runs short
-    run = make_chained(k_iters) if k_iters != 2 else probe
-    np.asarray(run(data, refs, jnp.int32(98)))        # compile + warm
+    np.asarray(chained(jnp.int32(k_iters), data, refs, jnp.int32(98)))
 
     trials = 3 if platform != "cpu" else 1
     best = float("inf")
     for t in range(trials):
         t0 = time.perf_counter()
-        np.asarray(run(data, refs, jnp.int32(t)))
+        np.asarray(chained(jnp.int32(k_iters), data, refs, jnp.int32(t)))
         best = min(best, time.perf_counter() - t0)
+    _stage(f"device metric done (k={k_iters}, best={best:.2f}s)")
 
     fps = k_iters * n_frames / best
     measurement_invalid = bool(best < 10 * round_trip
@@ -398,16 +410,19 @@ def main() -> None:
         e2e = bench_end_to_end()
     except Exception as e:                 # never lose the device metric
         e2e = {"end_to_end_error": repr(e)[:200]}
+    _stage("end-to-end done")
     e2e["host_to_device_mb_per_s"] = round(put_mb_s, 1)
     try:
         e2e.update(bench_device_correctness())
     except Exception as e:
         e2e["correctness_error"] = repr(e)[:200]
+    _stage("correctness gate done")
     if left() > 120:
         try:
             e2e.update(bench_1080p_parity())
         except Exception as e:
             e2e["parity_1080p_error"] = repr(e)[:200]
+        _stage("1080p parity done")
     else:
         e2e["parity_1080p"] = "skipped_time_budget"
     if left() > 90:
@@ -415,6 +430,7 @@ def main() -> None:
             e2e.update(bench_scaling(budget_s=max(left() - 30, 60)))
         except Exception as e:
             e2e["scaling_error"] = repr(e)[:200]
+        _stage("scaling done")
     else:
         e2e["scaling"] = "skipped_time_budget"
     host_cores = __import__("os").cpu_count()
