@@ -276,7 +276,7 @@ class Decoder(EventDispatcher):
             return None
 
         from ..kernels.decode import (frame_to_device, make_constants,
-                                      mv_bucket)
+                                      mv_capacity_for)
         from ..pipeline.gop import (decode_gop_scan, default_impl,
                                     stack_device_frames, zero_refs)
 
@@ -288,8 +288,8 @@ class Decoder(EventDispatcher):
                                    n_comps=fts[0].n_comps)
         n_mv = max(len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1
                    for ft in fts)
-        cap = max(getattr(self, "_mv_cap", 0) or 0, mv_bucket(n_mv))
-        self._mv_cap = cap
+        cap, self._mv_cap = mv_capacity_for(
+            n_mv, getattr(self, "_mv_cap", 0) or 0)
         stacked = stack_device_frames(
             [frame_to_device(ft, mv_capacity=cap) for ft in fts])
         outs, refs = decode_gop_scan(
@@ -341,7 +341,7 @@ class Decoder(EventDispatcher):
             import jax
 
             from ..kernels.decode import (decode_frame_jit, frame_to_device,
-                                          make_constants, mv_bucket)
+                                          make_constants, mv_capacity_for)
 
             seq = self.parser.seq
             if self._consts is None:
@@ -353,9 +353,10 @@ class Decoder(EventDispatcher):
                                        n_comps=ft.n_comps)
             n_mv = len(np.unique(ft.mb_mv.reshape(-1, 2), axis=0)) + 1
             # sticky capacity: grow-only bucket avoids a recompile per
-            # frame when distinct-MV counts fluctuate
-            cap = max(getattr(self, "_mv_cap", 0) or 0, mv_bucket(n_mv))
-            self._mv_cap = cap
+            # frame when distinct-MV counts fluctuate; cap 0 = this
+            # frame overflows every bucket -> exact gather MC
+            cap, self._mv_cap = mv_capacity_for(
+                n_mv, getattr(self, "_mv_cap", 0) or 0)
             if self._decode_backend is None:
                 self._decode_backend = (
                     "fused" if jax.devices()[0].platform != "cpu"

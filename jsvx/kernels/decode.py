@@ -110,6 +110,28 @@ def mv_bucket(n: int) -> int:
     return 0                               # too many: gather fallback
 
 
+def mv_capacity_for(needed: int, sticky: int = 0) -> tuple[int, int]:
+    """Distinct-MV capacity decision for one frame/GOP.
+
+    Returns ``(cap, new_sticky)``: ``cap`` is the mvset table size for
+    this unit (0 = distinct-MV count exceeds the top bucket, so this
+    unit must use the exact per-pixel gather MC instead), and
+    ``new_sticky`` the grow-only bucket callers carry forward so shapes
+    stay stable across frames.
+
+    An overflowing unit must NOT inherit the (smaller) sticky cap: the
+    reference decoder accepts any in-range motion vector
+    (``decoders/jsv.js:831-893``), so a legal high-motion frame with
+    >255 distinct MVs has to decode — through the gather path — rather
+    than raise out of ``frame_to_device``.
+    """
+    b = mv_bucket(needed)
+    if b == 0:
+        return 0, sticky
+    cap = max(sticky, b)
+    return cap, cap
+
+
 def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
     """FrameTensors -> pytree of device-ready arrays.
 

@@ -73,6 +73,7 @@ class PackedGop:
     fts: list                    # FrameTensors views into the stack
     index: int = 0
     pooled: list = field(default_factory=list)   # pool-owned buffers
+    mc_impl: str = "gather"      # MC formulation decided at parse time
 
 
 @dataclass
@@ -281,6 +282,7 @@ class CompactGop:
     pooled: list = field(default_factory=list)
     wire_bytes: int = 0
     dirty: bool = False
+    mc_impl: str = "gather"      # MC formulation decided at parse time
 
 
 def coef_bucket(n: int) -> int:

@@ -139,7 +139,7 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
     from .packed_parse import (BufferPool, attach_mvset, parse_gop_compact,
                                parse_gop_packed, walk_stream, _mv_unique)
     from .wire import flatten_wire, wire_spec
-    from ..kernels.decode import mv_bucket as mv_bucket_fn
+    from ..kernels.decode import mv_capacity_for
 
     assert not quirk_oddify_zeros
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
@@ -170,22 +170,21 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
                                      pool=pool, n_threads=n_parse_threads,
                                      index=gi)
                 uniqs = [_mv_unique(ft.mb_mv) for ft in g.fts]
-                cap = max(cap, mv_bucket_fn(
-                    max((len(u[0]) + 1 for u in uniqs), default=1)))
-                if cap:
-                    attach_mvset(g, cap, seq, meta, uniqs=uniqs)
+                gcap, cap = mv_capacity_for(
+                    max((len(u[0]) + 1 for u in uniqs), default=1), cap)
+                if gcap:
+                    attach_mvset(g, gcap, seq, meta, uniqs=uniqs)
             else:
                 mb_mv = g.stacked["mb"]["mv"]
                 n = mb_mv.shape[0]
-                cap = max(cap, mv_bucket_fn(max(
-                    (len(_mv_unique(mb_mv[i])[0]) + 1 for i in range(n)),
-                    default=1)))
-                if cap:
-                    tables = np.zeros((n, cap, 2), np.int32)
+                uniqs = [_mv_unique(mb_mv[i]) for i in range(n)]
+                gcap, cap = mv_capacity_for(
+                    max((len(u[0]) + 1 for u in uniqs), default=1), cap)
+                if gcap:
+                    tables = np.zeros((n, gcap, 2), np.int32)
                     mv_counts = np.zeros((n,), np.int32)
                     mv_idx = np.zeros(mb_mv.shape[:3], np.int16)
-                    for i in range(n):
-                        uniq, inv = _mv_unique(mb_mv[i])
+                    for i, (uniq, inv) in enumerate(uniqs):
                         tables[i, :len(uniq)] = uniq
                         mv_counts[i] = len(uniq)
                         mv_idx[i] = inv.reshape(
@@ -202,6 +201,9 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
                 g.pooled.append(buf)
                 g.device_wire = jax.device_put(buf)
                 wire_total += buf.nbytes
+            # decided at parse time: the global sticky cap may grow
+            # before this GOP is dispatched
+            g.mc_impl = "mvset" if gcap else "gather"
             if not hasattr(g, "device_wire"):
                 # dense fallback; async upload overlaps the next parse
                 g.device_stacked = jax.device_put(g.stacked)
@@ -220,11 +222,11 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
                 outs, _ = decode_gop_scan_wire(
                     g.device_wire, g.wire_spec, refs, consts,
                     seq.mb_height, seq.mb_width,
-                    mc_impl="mvset" if cap else "gather", impl=impl)
+                    mc_impl=g.mc_impl, impl=impl)
             else:
                 outs, _ = decode_gop_scan(
                     g.device_stacked, refs, consts, False,
-                    mc_impl="mvset" if cap else "gather", impl=impl)
+                    mc_impl=g.mc_impl, impl=impl)
         nxt = parse_one(todo[i + 1], pool) if i + 1 < len(todo) else None
         with metrics.timers.stage("device_wait"):
             jax.block_until_ready(outs)
@@ -282,12 +284,14 @@ def _transcode_packed(data: bytes, sink, *, impl: str,
             g = parse_gop_packed(arr, groups[gi], seq, meta, 0, pool=pool,
                                  n_threads=n_parse_threads, index=gi)
             from .packed_parse import _mv_unique
+            from ..kernels.decode import mv_capacity_for
 
             uniqs = [_mv_unique(ft.mb_mv) for ft in g.fts]
-            cap = max(cap, mv_bucket(
-                max((len(u[0]) + 1 for u in uniqs), default=1)))
-            if cap:
-                attach_mvset(g, cap, seq, meta, uniqs=uniqs)
+            gcap, cap = mv_capacity_for(
+                max((len(u[0]) + 1 for u in uniqs), default=1), cap)
+            if gcap:
+                attach_mvset(g, gcap, seq, meta, uniqs=uniqs)
+            g.mc_impl = "mvset" if gcap else "gather"
             # start the host->device transfer now (async): it overlaps
             # the next GOP's parse instead of serialising into dispatch
             g.device_stacked = jax.device_put(g.stacked)
@@ -303,7 +307,7 @@ def _transcode_packed(data: bytes, sink, *, impl: str,
                              n_comps=meta.n_components)
             outs, _ = decode_gop_scan(
                 g.device_stacked, refs, consts, quirk_oddify_zeros,
-                mc_impl="mvset" if cap else "gather", impl=impl)
+                mc_impl=g.mc_impl, impl=impl)
         # overlap: host parses the next GOP while the device decodes
         nxt = parse_one(todo[i + 1], pool) if i + 1 < len(todo) else None
         with metrics.timers.stage("device_wait"):
