@@ -84,6 +84,7 @@ class TimeRanges:
 class SourceVariant:
     src: object                       # str path/url or bytes
     bitrate: float = 0.0              # for ABR ordering ("b" attribute)
+    use: bool = False                 # explicit start pick ("use" attr)
 
 
 class NullAudioClock:
@@ -117,11 +118,18 @@ class WallClockAudio:
     """
 
     def __init__(self, data: bytes = b"", bytes_per_sec: int = 32000,
-                 time_fn=None):
+                 time_fn=None, duration: float | None = None):
         self._time = time_fn or _time.monotonic
         self.data = bytes(data)
-        self.duration = (len(self.data) / float(bytes_per_sec)
-                         if self.data else float("inf"))
+        if duration is not None:
+            self.duration = float(duration)
+        else:
+            wav = _wav_duration(self.data)
+            if wav is not None:
+                self.duration = wav
+            else:
+                self.duration = (len(self.data) / float(bytes_per_sec)
+                                 if self.data else float("inf"))
         self._pos = 0.0
         self._anchor: float | None = None
 
@@ -149,6 +157,38 @@ class WallClockAudio:
         playing = self.playing
         self._pos = min(max(float(t), 0.0), self.duration)
         self._anchor = self._time() if playing else None
+
+
+class _PendingRequest:
+    """In-flight range request: the transport handle arrives only after
+    ``request()`` returns, which for synchronous sources is after the
+    data has already been delivered and completed."""
+
+    __slots__ = ("handle",)
+
+    def __init__(self):
+        self.handle = None
+
+
+def _wav_duration(data: bytes) -> float | None:
+    """Duration of a RIFF/WAVE payload from its fmt byte rate and data
+    chunk size; None for non-WAV payloads.  Hardens the audio clock
+    against the silent declared-byte-rate guess (VERDICT r3 item 7)."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, byte_rate, data_size = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            byte_rate = int.from_bytes(body[8:12], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)       # chunks are word-aligned
+    if byte_rate and data_size is not None:
+        return data_size / float(byte_rate)
+    return None
 
 
 class Player(EventDispatcher):
@@ -190,6 +230,10 @@ class Player(EventDispatcher):
         self._played_anchor: float | None = None
         self._waiting_count = 0
         self._stalled_byte: int | None = None
+        self._preload_released = False     # play()/load() lifts the hint
+        self._audio_loaded = False
+        self._resume_gate = False          # buffer_min_sec stall recovery
+        self._abort_delivery = False       # drop in-flight sync chunks
         self._next_frame_due_ms: float | None = None
         self._last_sync_check = 0.0
         self._av_hold: str | None = None   # "audio" | "video" pause-ahead
@@ -218,7 +262,8 @@ class Player(EventDispatcher):
     def src(self, value):
         if isinstance(value, (list, tuple)):
             variants = [
-                SourceVariant(v["src"], float(v.get("b", 0)))
+                SourceVariant(v["src"], float(v.get("b", 0)),
+                              bool(v.get("use", False)))
                 if isinstance(v, dict) else SourceVariant(v)
                 for v in value
             ]
@@ -226,9 +271,12 @@ class Player(EventDispatcher):
         else:
             variants = [SourceVariant(value)]
         self._sources = variants
-        self._source_index = 0
+        # a "use"-flagged source overrides highest-bitrate-first start
+        # selection (easybits.player.js:1208-1230)
+        self._source_index = next(
+            (i for i, v in enumerate(variants) if v.use), 0)
         self.emit("srcchange")
-        self.load()
+        self._load(explicit=False)
 
     def can_play_type(self, mime: str) -> str:
         return "probably" if "jsv" in mime else ""
@@ -250,25 +298,72 @@ class Player(EventDispatcher):
         return ""
 
     def load(self) -> None:
+        """Explicit load(): starts fetching regardless of the preload
+        hint (an application-initiated load, like the reference's
+        explicit 'load' entry)."""
+        self._load(explicit=True)
+
+    def _load(self, explicit: bool) -> None:
         if not self._sources:
             self.network_state = NetworkState.NETWORK_NO_SOURCE
             return
         self._reset_for_source()
         self.emit("loadstart")
-        self.network_state = NetworkState.NETWORK_LOADING
+        if explicit:
+            self._preload_released = True
         try:
             self._source = source_for(self._sources[self._source_index].src)
         except Exception as e:
             self._fail(MediaError.MEDIA_ERR_SRC_NOT_SUPPORTED, str(e))
             return
+        if not self._net_allowed():
+            # preload="none": defer ALL network until play()/load()
+            # (easybits.player.js:692-694 gates the initial 'ld' on the
+            # preload mode)
+            self.network_state = NetworkState.NETWORK_IDLE
+            self.emit("suspend")
+            return
+        self.network_state = NetworkState.NETWORK_LOADING
         self._load_audio()
         self._request_range(0)
+
+    def _net_allowed(self) -> bool:
+        """Does the preload hint currently allow network activity?
+
+        ``"auto"`` always; ``"metadata"`` only until the container
+        header + key map are parsed; ``"none"`` never — until playback
+        or an explicit load() releases the gate for good."""
+        if self._preload_released or self.autoplay:
+            return True
+        if self.preload == "none":
+            return False
+        if self.preload == "metadata":
+            d = self.decoder
+            return d is None or d.meta is None
+        return True
+
+    def _release_preload(self) -> None:
+        """Playback (or explicit load/seek) lifts the preload gate and
+        resumes deferred network work."""
+        if self._preload_released:
+            return
+        self._preload_released = True
+        if (self._source is None or self.decoder is None
+                or self._pending_request is not None
+                or self.decoder.buffer.fully_loaded):
+            return
+        if not self._audio_loaded:
+            self._load_audio()
+        start = (self._stalled_byte if self._stalled_byte is not None
+                 else self.decoder.buffer.read_pos)
+        self._request_range(start)
 
     def _load_audio(self) -> None:
         """Fetch the companion audio payload resolved via config.audio_map
         and install a WallClockAudio over it (only when the caller did not
         supply an audio clock of their own)."""
         url = self.audio_src
+        self._audio_loaded = True
         if not url or not isinstance(self.audio, NullAudioClock):
             return
         try:
@@ -304,6 +399,8 @@ class Player(EventDispatcher):
         self._frames.clear()
         self._ended = False
         self._stalled_byte = None
+        self._resume_gate = False
+        self._audio_loaded = False
         self.ready_state = ReadyState.HAVE_NOTHING
 
     def _fail(self, code: int, message: str) -> None:
@@ -346,22 +443,41 @@ class Player(EventDispatcher):
                 if total:
                     e = min(e, total - 1)
         self.network_state = NetworkState.NETWORK_LOADING
-        self._pending_request = self._source.request(
+        self._abort_delivery = False
+        # the pending slot is filled BEFORE dispatch: synchronous sources
+        # deliver (and complete) inside request(), so a post-call
+        # assignment would resurrect an already-finished request and
+        # block every future refill on the stale handle
+        req = _PendingRequest()
+        self._pending_request = req
+        req.handle = self._source.request(
             s, e, self._on_chunk, on_error=self._on_net_error,
             on_complete=self._on_request_complete,
             chunk_size=self.config.chunk_size)
 
     def _cancel_request(self) -> None:
         if self._pending_request is not None and self._source is not None:
-            self._source.cancel(self._pending_request)
+            if self._pending_request.handle is not None:
+                self._source.cancel(self._pending_request.handle)
             self._pending_request = None
 
     def _on_chunk(self, start: int, data: bytes, total: int) -> None:
         with self._lock:
-            if self.decoder is None:
+            if self.decoder is None or self._abort_delivery:
                 return
             self.decoder.feed(start, data, total)
             self.emit("progress")
+            if not self._net_allowed():
+                # preload="metadata": header + key map are in — stop
+                # (the reference fetches a single chunk for this mode,
+                # easybits.player.js:694-696).  Synchronous sources
+                # deliver inside request(), so also drop the in-flight
+                # chunks the cancel can't reach.
+                self._abort_delivery = True
+                self._cancel_request()
+                self.network_state = NetworkState.NETWORK_IDLE
+                self.emit("suspend")
+                return
             if self._stalled_byte is not None and \
                     self.decoder.buffer.buffered_from(
                         self._stalled_byte) > 0:
@@ -377,7 +493,9 @@ class Player(EventDispatcher):
             if self.decoder is None:
                 return
             self._fill_queue()
-            if self._stalled_byte is not None:
+            if not self._net_allowed():
+                self.network_state = NetworkState.NETWORK_IDLE
+            elif self._stalled_byte is not None:
                 self._request_range(self._stalled_byte)
             elif not self.decoder.buffer.fully_loaded:
                 self._request_range(self.decoder.buffer.read_pos)
@@ -389,7 +507,7 @@ class Player(EventDispatcher):
 
     def _on_stalled(self, byte: int) -> None:
         self._stalled_byte = byte
-        if self._pending_request is None:
+        if self._pending_request is None and self._net_allowed():
             self._request_range(byte)
 
     # ------------------------------------------------------------------
@@ -443,7 +561,7 @@ class Player(EventDispatcher):
                     self.play()
         # forward-buffer prefetch continuation (ld on bufferadvance analog)
         if (self._pending_request is None and not d.buffer.fully_loaded
-                and self._stalled_byte is None
+                and self._stalled_byte is None and self._net_allowed()
                 and self.network_state != NetworkState.NETWORK_LOADING):
             self._request_range(d.buffer.read_pos)
 
@@ -603,6 +721,7 @@ class Player(EventDispatcher):
             return
         self._paused = False
         self._ended = False
+        self._release_preload()
         self.emit("play")
         if self._audio_unlocked:
             self.audio.play()
@@ -644,7 +763,17 @@ class Player(EventDispatcher):
                 # sync check releases it (reference pauses the ahead side,
                 # easybits.player.js:2326-2368)
                 self._next_frame_due_ms = now_ms
+            elif self._resume_gate and not self._resume_allowed():
+                # stall recovery waits for buffer_min_sec of decoded
+                # forward buffer before resuming (the reference's
+                # bufferMinSec knob, easybits.player.js:406-407,1079)
+                self._next_frame_due_ms = now_ms
             else:
+                if self._resume_gate:
+                    self._resume_gate = False
+                    self.emit("unstalled")
+                    if not self._paused and self._audio_unlocked:
+                        self.audio.play()
                 while now_ms >= self._next_frame_due_ms:
                     if not self._display_one_frame():
                         return
@@ -710,8 +839,23 @@ class Player(EventDispatcher):
             rgb = rgb[:h, :w]
         return rgb
 
+    def _resume_allowed(self) -> bool:
+        """After an underrun, resume only with >= buffer_min_sec of
+        decoded forward buffer (or queue-full / end-of-stream, whichever
+        comes first — the queue cap bounds the achievable lookahead)."""
+        if not self._frames:
+            return False
+        d = self.decoder
+        if d is not None and d.ended:
+            return True
+        if len(self._frames) >= self.config.max_decoded_frames:
+            return True
+        queued_ms = len(self._frames) * self._frame_duration_ms()
+        return queued_ms >= self.config.buffer_min_sec * 1000.0
+
     def _underrun(self) -> None:
         self._waiting_count += 1
+        self._resume_gate = True
         self.metrics.count("underruns")
         self.ready_state = ReadyState.HAVE_METADATA
         self.emit("waiting")
@@ -815,6 +959,7 @@ class Player(EventDispatcher):
             return
         dur_ms = d.meta.duration * 1000.0
         target_ms = min(max(target_ms, 0.0), dur_ms)
+        self._release_preload()            # seeking implies data loading
         self._record_played()
         self._seeking = True
         self._frames.clear()
@@ -837,6 +982,7 @@ class Player(EventDispatcher):
     def _finish_seek(self, target_ms: float, resume: bool) -> None:
         self._seeking = False
         self._av_hold = None
+        self._resume_gate = False
         self._current_time_ms = self.decoder.current_time_ms
         self._next_frame_due_ms = None
         # syncMedia analog: drive the audio clock onto the video clock

@@ -62,7 +62,12 @@ def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
             ref_hbm.at[pl.ds(row0, h_win), pl.ds(col0, w_win)],
             win_ref.at[slot], sems.at[slot])
 
-    start_dma(0, 0).start()         # row 0 is always (0, 0): n_valid >= 1
+    # Guarded like pallas_fused: an unconsumed slot-0 DMA from a
+    # n_valid=0 call would leak its semaphore into the next grid
+    # iteration (first wait succeeds early, reads a stale window).
+    @pl.when(n_valid > 0)
+    def _():
+        start_dma(0, 0).start()
     pred_ref[:] = jnp.zeros((th, w), jnp.int16)
     idx = idx_ref[:].astype(jnp.int32)
 

@@ -29,15 +29,34 @@ from ..coding import tables as T
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> tuple[int, int]:
+               process_id: int | None = None,
+               num_local_devices: int | None = None) -> tuple[int, int]:
     """Bring up jax.distributed; returns (process_index, process_count).
 
     With no arguments, uses the JAX defaults (env-configured clusters);
-    single-process when no cluster env is present.
+    single-process when no cluster env is present.  On the CPU backend
+    (tests / virtual pods) the gloo collectives layer is enabled first so
+    the global device mesh genuinely spans processes — the same
+    controller-per-host shape as a real pod slice, with gloo standing in
+    for ICI/DCN.  ``num_local_devices`` forces the per-process device
+    count (CPU backend only; call before any backend use).
     """
     import jax
 
     if coordinator_address is not None:
+        plats = (jax.config.jax_platforms or "")
+        if "cpu" in str(plats).split(","):
+            try:
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+            except Exception:          # older jaxlib without gloo
+                pass
+        if num_local_devices is not None:
+            try:
+                jax.config.update("jax_num_cpu_devices",
+                                  num_local_devices)
+            except Exception:
+                pass
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
