@@ -124,6 +124,24 @@ def _motion_stats(data: bytes) -> dict:
     }
 
 
+def _fixture_path() -> str:
+    """Bench fixture path, versioned by the encoder source + clip params
+    so a stale tmp file from an older encoder can never silently change
+    the measured workload (VERDICT r3 weak #6)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import jsvx.tools.encoder as enc_mod
+
+    tag = hashlib.sha256(
+        open(enc_mod.__file__, "rb").read()
+        + b"|1088x1920x8|gop4|q6|me8|halfpel|zoomclip-v1"
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(),
+                        f"jsvx_bench_1080p_{tag}.jsv")
+
+
 def bench_end_to_end() -> dict:
     """Full product path at 1080p: real encoded stream -> compact-wire
     host parse -> device GOP scan (VERDICT r1 #1: measure the product,
@@ -131,11 +149,10 @@ def bench_end_to_end() -> dict:
     half-pel refine on, me_range 8, zoom motion field (K > 64 distinct
     MVs per P frame)."""
     import os
-    import tempfile
 
     from jsvx.pipeline.transcode import transcode
 
-    fix = os.path.join(tempfile.gettempdir(), "jsvx_bench_1080p_v3.jsv")
+    fix = _fixture_path()
     if not os.path.exists(fix):
         from jsvx.tools.encoder import EncoderConfig, JsvEncoder
 
@@ -163,15 +180,64 @@ def bench_end_to_end() -> dict:
             trials = {k: round(v["total_s"], 4)
                       for k, v in res.metrics.timers.report().items()}
             wire = int(res.metrics.gauges.get("wire_bytes", 0))
+    # host->device link probe, measured HERE (in the same process state
+    # as the e2e number) — end-to-end throughput is bounded by this link
+    import jax
+
+    big = np.ones((8 << 20,), np.uint8)
+    jax.block_until_ready(jax.device_put(big))
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(big))
+    put_mb_s = 8.0 / max(time.perf_counter() - t0, 1e-9)
     out = {
         "end_to_end_1080p_frames_per_s": round(res.n_frames / best, 2),
         "stage_seconds": trials,
         "stream_bytes": len(data),
         "n_frames": res.n_frames,
         "wire_bytes_per_frame": wire // max(res.n_frames, 1),
+        "host_to_device_mb_per_s": round(put_mb_s, 1),
     }
     out.update(_motion_stats(data))
     return out
+
+
+def bench_end_to_end_isolated(timeout_s: float, cache_dir: str) -> dict:
+    """Run :func:`bench_end_to_end` in a FRESH subprocess.
+
+    Two measured reasons (PERF.md round 4): (1) executing the chained
+    device-metric program degrades every subsequent host<->device
+    round trip ~10x in the same process on the axon tunnel runtime
+    (70 fps -> 7 fps, unrecoverable by freeing arrays), so in-process
+    e2e numbers taken after the device metric are environment
+    artifacts; (2) the persistent-cache identity of the big wire
+    program is trace-history-dependent, so a fixed subprocess command
+    gives it a stable key across driver runs (same code => cache hit).
+    """
+    import json as _json
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        "import sys, json; sys.path.insert(0, {r!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir', {c!r})\n"
+        "jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+        "import bench\n"
+        "print('E2E_JSON ' + json.dumps(bench.bench_end_to_end()))\n"
+    ).format(r=repo, c=cache_dir)
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s,
+                           cwd=repo)
+    except subprocess.TimeoutExpired:
+        return {"end_to_end": "skipped_time_budget_subprocess"}
+    for line in reversed(p.stdout.decode().splitlines()):
+        if line.startswith("E2E_JSON "):
+            return _json.loads(line[len("E2E_JSON "):])
+    return {"end_to_end_error":
+            (p.stderr.decode()[-300:] or f"rc={p.returncode}")}
 
 
 def bench_device_correctness() -> dict:
@@ -223,14 +289,18 @@ def bench_device_correctness() -> dict:
         fd = frame_to_device(ft, mv_capacity=cap)
         xla = [np.asarray(p) for p in decode_frame_planes(
             fd, refs, consts, mc_impl="mvset")]
+        # gather-vs-mvset on THIS device backs the 1080p parity
+        # arbiter's use of the gather path (ADVICE r3)
+        gat = decode_frame_planes(fd, refs, consts, mc_impl="gather")
         pal = decode_frame_planes_pallas(fd, refs, consts,
                                          interpret=interpret)
         fus = decode_frame_planes_fused(fd, refs, consts,
                                         interpret=interpret)
         oracle = reconstruct_frame(ft, seq, ref_o)
         intsim = reconstruct_frame_intsim(ft, seq, ref_i)
-        for a, b, c in zip(xla, pal, fus):
-            if not (np.array_equal(a, np.asarray(b))
+        for a, g, b, c in zip(xla, gat, pal, fus):
+            if not (np.array_equal(a, np.asarray(g))
+                    and np.array_equal(a, np.asarray(b))
                     and np.array_equal(a, np.asarray(c))):
                 mismatches += 1
         for a, o, s in zip(xla, oracle, intsim):
@@ -308,11 +378,13 @@ def main() -> None:
 
     # persistent XLA compilation cache: the bench compiles several large
     # programs (chained scan, e2e scan, 3 kernel impls at two shapes);
-    # repeat driver runs must not pay cold-compile time again
+    # repeat driver runs must not pay cold-compile time again.  NOTE the
+    # cache key of a program depends on the process's trace history, so
+    # hits require re-running the same entry command (python bench.py)
+    # on unchanged code — which is exactly the driver pattern.
+    cache_dir = os.environ.get("JSVX_JIT_CACHE", "/tmp/jsvx_jit_cache")
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JSVX_JIT_CACHE",
-                                         "/tmp/jsvx_jit_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -381,7 +453,7 @@ def main() -> None:
     # to estimate per-scan device time; the timed run below never
     # subtracts anything
     per_scan = max((time.perf_counter() - t0 - round_trip) / 2, 1e-6)
-    k_iters = max(2, int(np.ceil(1.2 / per_scan)))
+    k_iters = max(2, int(np.ceil(1.5 / per_scan)))
     if platform == "cpu":
         k_iters = min(k_iters, 4)          # CI smoke: keep CPU runs short
     np.asarray(chained(jnp.int32(k_iters), data, refs, jnp.int32(98)))
@@ -397,21 +469,23 @@ def main() -> None:
     fps = k_iters * n_frames / best
     measurement_invalid = bool(best < 10 * round_trip
                                or (platform != "cpu" and best < 0.5))
-    # host->device link bandwidth: end-to-end throughput is bounded by
-    # moving ~6.3 MB of coefficients per 1080p frame across this link
-    # (negligible on PCIe-attached TPU hosts; the dev tunnel is ~100x
-    # slower and makes end_to_end numbers environment-bound)
-    big = np.ones((8 << 20,), np.uint8)
-    jax.block_until_ready(jax.device_put(big))
-    t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(big))
-    put_mb_s = 8.0 / max(time.perf_counter() - t0, 1e-9)
-    try:
-        e2e = bench_end_to_end()
-    except Exception as e:                 # never lose the device metric
-        e2e = {"end_to_end_error": repr(e)[:200]}
+    # end-to-end runs in a FRESH subprocess: running the chained program
+    # above degrades all later host<->device round trips ~10x in THIS
+    # process (axon tunnel runtime artifact, measured in PERF.md r4), so
+    # an in-process e2e here would report the environment, not the
+    # pipeline; reserve time for the correctness/parity/scaling gates
+    if platform != "cpu":
+        budget_e2e = min(max(left() - 300, 60), 600)
+        try:
+            e2e = bench_end_to_end_isolated(budget_e2e, cache_dir)
+        except Exception as e:             # never lose the device metric
+            e2e = {"end_to_end_error": repr(e)[:200]}
+    else:
+        try:
+            e2e = bench_end_to_end()       # CI smoke: in-process is fine
+        except Exception as e:
+            e2e = {"end_to_end_error": repr(e)[:200]}
     _stage("end-to-end done")
-    e2e["host_to_device_mb_per_s"] = round(put_mb_s, 1)
     try:
         e2e.update(bench_device_correctness())
     except Exception as e:
@@ -425,7 +499,7 @@ def main() -> None:
         _stage("1080p parity done")
     else:
         e2e["parity_1080p"] = "skipped_time_budget"
-    if left() > 90:
+    if left() > 60:
         try:
             e2e.update(bench_scaling(budget_s=max(left() - 30, 60)))
         except Exception as e:

@@ -215,6 +215,13 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
     for i, gi in enumerate(todo):
         g = nxt
         compact = hasattr(g, "device_wire")
+        if compact:
+            # transfer attribution (VERDICT r3 item 3): the wire upload
+            # was dispatched asynchronously during parse; whatever is
+            # left of it here is the un-overlapped transfer tail,
+            # separated from the expand+decode time in device_wait
+            with metrics.timers.stage("wire_wait"):
+                jax.block_until_ready(g.device_wire)
         with metrics.timers.stage("device_dispatch"):
             refs = zero_refs(seq.coded_height, seq.coded_width,
                              n_comps=meta.n_components)
