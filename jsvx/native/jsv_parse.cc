@@ -304,7 +304,9 @@ struct DenseEmit {
 };
 
 // Compact wire format, one uint16 per coded coefficient:
-//   (scan_pos:6 << 10) | (level + 512)
+//   (spatial_pos:6 << 10) | (level + 512)
+// The zig-zag undo happens HERE (one table lookup in the parse hot
+// loop) so the device expansion needs no 64-way gather per entry.
 // Levels always fit [-512, 511]: AC/escape levels are <= +-255
 // (jsv.js:1465-1480) and the intra-DC level is clamped to +-256 here,
 // which is output-invariant because dequantisation computes 8*dc and
@@ -315,6 +317,7 @@ struct DenseEmit {
 struct CompactEmit {
   std::vector<uint16_t> vec[4];
   uint8_t* counts[4] = {nullptr, nullptr, nullptr, nullptr};
+  const Parser* p = nullptr;
   const PictureCtx* c;
   int64_t first_blk[4] = {-1, -1, -1, -1};
   int64_t last_blk[4] = {-1, -1, -1, -1};
@@ -347,10 +350,11 @@ struct CompactEmit {
   inline void dc(int32_t v) {
     if (v > 256) v = 256;
     else if (v < -256) v = -256;
-    vec[comp].push_back((uint16_t)(v + 512));    // scan_pos 0
+    vec[comp].push_back((uint16_t)(v + 512));    // spatial pos 0
   }
   inline void coef(int n, int32_t level) {
-    vec[comp].push_back((uint16_t)((n << 10) | (level + 512)));
+    vec[comp].push_back(
+        (uint16_t)(((uint32_t)p->zigzag[n] << 10) | (level + 512)));
   }
   inline void end(int n, bool, const SliceState&) {
     (void)n;
@@ -832,6 +836,7 @@ int64_t jsv_parse_picture_slices_compact(
   std::vector<CompactEmit> emits(spans.size());
   uint8_t* counts[4] = {counts_y, counts_cb, counts_cr, counts_a};
   for (auto& em : emits) {
+    em.p = &p;
     em.c = &c;
     for (int k = 0; k < 4; ++k) em.counts[k] = counts[k];
   }

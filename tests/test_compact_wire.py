@@ -114,11 +114,11 @@ def test_expand_levels_padding_is_dropped():
     # entries past n_coef scatter into the sacrificial slot, not planes
     counts = np.zeros((1, 4), np.uint8)
     counts[0, 0] = 1
-    cpk = np.full((8,), (5 << 10) | (7 + 512), np.uint16)  # 7 @ scan 5
+    zz = int(T.ZIG_ZAG[5])                 # wire carries SPATIAL positions
+    cpk = np.full((8,), (zz << 10) | (7 + 512), np.uint16)
     out = np.asarray(expand_levels(jnp.asarray(cpk), jnp.int32(1),
                                    jnp.asarray(counts), 1, 1, True))
     assert out.shape == (1, 16, 16)
-    zz = T.ZIG_ZAG[5]
     assert out[0, zz >> 3, zz & 7] == 7
     assert out.sum() == 7                      # exactly one write
 

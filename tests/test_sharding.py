@@ -292,3 +292,24 @@ def test_1080p_rows_sharded_pallas():
         d = np.abs(a - b)
         assert d.max() <= 1
         assert (d > 0).mean() <= 1e-5, f"{(d > 0).sum()} pixels differ"
+
+
+def test_yuva_rows_sharded():
+    """4-component (YUVA) GOP row-sharded == single-device scan."""
+    from conftest import synthetic_frames_yuva
+
+    clip = synthetic_frames_yuva(3, 128, 64, seed=31)
+    data = JsvEncoder(64, 128, EncoderConfig(
+        gop_size=3, quantizer_scale=4, me_range=4)).encode(clip)
+    fts, seq = _parse_stream(data)
+    assert fts[0].n_comps == 4
+    consts = make_constants(seq)
+    stacked = stack_device_frames([frame_to_device(ft) for ft in fts])
+    refs0 = zero_refs(seq.coded_height, seq.coded_width, n_comps=4)
+    single, _ = decode_gop_scan(stacked, refs0, consts)
+    mesh = build_mesh({"rows": 4})
+    sharded, _ = decode_gop_rows_sharded(stacked, refs0, consts, mesh,
+                                         halo_y=32)
+    assert len(sharded) == 4
+    for a, b in zip(single, sharded):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
