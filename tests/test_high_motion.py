@@ -128,3 +128,54 @@ def test_transcode_survives(high_motion_stream):
         for i in range(np.asarray(stacks[0]).shape[0]):
             got.append(tuple(np.asarray(p)[i] for p in stacks))
     _assert_matches(got, want)
+
+
+@pytest.fixture(scope="module")
+def high_motion_first_stream():
+    """The REVERSE order: the overflowing frame comes FIRST (sticky cap
+    still 0), then normal motion grows the cap — pins the per-GOP
+    mc_impl decision in both directions."""
+    frames = synthetic_frames(4, MB * 16, MB * 16, seed=12)
+    cfg = EncoderConfig(gop_size=2, quantizer_scale=8, f_code=3,
+                        intra_sad_threshold=1e9, key_map=True)
+    enc = JsvEncoder(MB * 16, MB * 16, cfg)
+    calls = []
+
+    def forced(y, ref_y):
+        i = len(calls)
+        calls.append(i)
+        return _forced_mvs(1 - i)          # overflow first, normal second
+    enc._motion_search = forced
+    return enc.encode(frames)
+
+
+def test_decoder_overflow_first_gop(high_motion_first_stream):
+    data = high_motion_first_stream
+    counts = _distinct_mv_counts(data)
+    assert counts[1] >= 256                # P frame of GOP 1 overflows
+    want = _oracle_frames(data)
+    dec = Decoder()
+    dec.feed(0, data, total=len(data))
+    got = [f.planes for f in dec.iter_frames()]
+    assert dec.ended
+    _assert_matches(got, want)
+
+
+def test_transcode_overflow_first_gop(high_motion_first_stream):
+    from jsvx.bitstream.native import get_native_parser
+    from jsvx.pipeline.transcode import transcode
+
+    if get_native_parser() is None:
+        pytest.skip("native parser unavailable")
+    data = high_motion_first_stream
+    want = _oracle_frames(data)
+    out = {}
+    res = transcode(data,
+                    sink=lambda gi, frames: out.setdefault(gi, frames))
+    assert res.n_frames == 4
+    got = []
+    for gi in sorted(out):
+        stacks = out[gi]
+        for i in range(np.asarray(stacks[0]).shape[0]):
+            got.append(tuple(np.asarray(p)[i] for p in stacks))
+    _assert_matches(got, want)

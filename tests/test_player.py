@@ -859,3 +859,27 @@ def test_multi_source_default_highest_bitrate(stream):
     p = Player(PlayerConfig(), backend="oracle")
     p.src = [{"src": data, "b": 400}, {"src": data, "b": 800}]
     assert p._sources[p._source_index].bitrate == 800
+
+
+def test_seek_releases_preload_gate(stream):
+    """Seeking implies loading: a preload=metadata player that seeks
+    must resume fetching and play from the target."""
+    data, _ = stream
+    p = Player(PlayerConfig(preload="metadata", chunk_size=300),
+               backend="oracle")
+    p.src = data
+    buffered_before = p.decoder.buffer.buffered_from(0)
+    assert buffered_before < len(data)
+    p.current_time = 0.25                  # seek while gated
+    shown = []
+    p.set_frame_sink(lambda f, t: shown.append(t))
+    p.play()
+    t = 0.0
+    for _ in range(40):
+        t += 1 / 30.0
+        p.tick(t)
+        if p.ended:
+            break
+    assert shown, "seek must have released the preload gate"
+    # lands on a GOP boundary within the 150 ms seek precision
+    assert shown[0] >= 0.25 - 0.151
