@@ -883,3 +883,33 @@ def test_seek_releases_preload_gate(stream):
     assert shown, "seek must have released the preload gate"
     # lands on a GOP boundary within the 150 ms seek precision
     assert shown[0] >= 0.25 - 0.151
+
+
+def test_wav_duration_malformed_falls_back():
+    from jsvx.api.player import WallClockAudio, _wav_duration
+
+    # truncated / wrong magic / missing data chunk -> not parsed as WAV
+    assert _wav_duration(b"RIFF") is None
+    assert _wav_duration(b"RIFX" + b"\x00" * 60) is None
+    no_data = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + (16).to_bytes(4, "little") + bytes(16))
+    assert _wav_duration(no_data + bytes(8)) is None
+    clock = WallClockAudio(b"\x00" * 32000, bytes_per_sec=16000)
+    assert abs(clock.duration - 2.0) < 1e-6    # byte-rate fallback
+
+
+def test_wav_duration_odd_chunk_alignment():
+    """Chunks are word-aligned; an odd-sized extra chunk before fmt/data
+    must not desync the walk."""
+    from jsvx.api.player import _wav_duration
+
+    byte_rate = 4000
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (4000).to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    dat = b"data" + (8000).to_bytes(4, "little") + bytes(8000)
+    body = b"WAVE" + odd + fmt + dat
+    wav = b"RIFF" + (len(body)).to_bytes(4, "little") + body
+    assert abs(_wav_duration(wav) - 2.0) < 1e-6
