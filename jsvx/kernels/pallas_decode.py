@@ -9,10 +9,18 @@ MXU mapping: a (TH, TW) tile of the coefficient plane is transformed by
 
     rows = (I_{TH/8} (x) C) @ tile @ (I_{TW/8} (x) C^T)
 
-two block-diagonal matmuls sized (TH,TH)x(TH,TW) and (TH,TW)x(TW,TW) —
-dense MXU work with no per-8x8-block reshuffling, because a block-diagonal
-operator applies the 8-point IDCT independently to every aligned 8-row /
-8-column group in place.
+The row pass is one block-diagonal (TH,TW)x(TW,TW) matmul — dense MXU
+work with no per-8x8-block reshuffling, because a block-diagonal operator
+applies the 8-point IDCT independently to every aligned 8-column group in
+place.  The column pass is TH/8 separate (8,8)x(8,TW) matmuls — NOT one
+(TH,TH) block-diagonal contraction — so its f32 summation structure is
+identical for every tile height.  This makes the reconstruction
+bit-identical between a row-sharded plane (shard tile height != full
+tile height) and the single-device decode, and structurally matches the
+XLA path's contraction-over-8 einsum (``decode.idct_plane``); the
+reference's per-texel passes are deterministic the same way
+(``decoders/shaders/mpeg1video.js:18-29``).  The row-pass contraction
+width never varies under row sharding, so (TW,TW) stays one matmul.
 
 Per-pixel sideband (quantiser x matrix product, coded-range mask, intra
 flags, DC-override) is precomputed by cheap fused XLA ops into two planes:
@@ -45,6 +53,21 @@ def _block_diag_idct(n: int, transpose: bool) -> np.ndarray:
     return np.kron(eye, c.T if transpose else c)
 
 
+def _col_idct_8(c8, f):
+    """Column IDCT of an (8k, w) tile as k (8,8)x(8,w) matmuls.
+
+    Tile-height-invariant by construction: every 8-row group goes
+    through an identical contraction-8 dot, so f32 rounding cannot
+    depend on how the plane was tiled or row-sharded (VERDICT r4 #2).
+    """
+    th = f.shape[0]
+    return jnp.concatenate(
+        [jnp.dot(c8, f[g * 8:(g + 1) * 8, :],
+                 preferred_element_type=jnp.float32)
+         for g in range(th // 8)], axis=0) if th > 8 else \
+        jnp.dot(c8, f, preferred_element_type=jnp.float32)
+
+
 def _pick_tile(n: int, candidates=(64, 32, 16, 8)) -> int:
     for t in candidates:
         if n % t == 0:
@@ -53,7 +76,7 @@ def _pick_tile(n: int, candidates=(64, 32, 16, 8)) -> int:
 
 
 def _recon_kernel(quirk: bool, lv_ref, mult_ref, flags_ref, pred_ref,
-                  bd_col_ref, bd_row_ref, out_ref):
+                  c8_ref, bd_row_ref, out_ref):
     lv = lv_ref[:].astype(jnp.int32)
     mult = mult_ref[:].astype(jnp.int32)
     flags = flags_ref[:].astype(jnp.int32)
@@ -73,7 +96,7 @@ def _recon_kernel(quirk: bool, lv_ref, mult_ref, flags_ref, pred_ref,
     d = jnp.where((flags & 4) != 0, 8 * lv, d)
 
     f = d.astype(jnp.float32)
-    cols = jnp.dot(bd_col_ref[:], f, preferred_element_type=jnp.float32)
+    cols = _col_idct_8(c8_ref[:], f)
     rows = jnp.dot(cols, bd_row_ref[:], preferred_element_type=jnp.float32)
 
     pix = jnp.round(pred_ref[:].astype(jnp.float32) + rows)
@@ -105,13 +128,13 @@ def fused_recon_plane(levels: jax.Array, mult: jax.Array, flags: jax.Array,
         return out[:, :w]
     th = th or _pick_tile(h)
     tw = tw or _pick_tile(w, (128,))
-    bd_col = jnp.asarray(_block_diag_idct(th, transpose=False))
+    c8 = jnp.asarray(refmath.C_BASIS.astype(np.float32))
     bd_row = jnp.asarray(_block_diag_idct(tw, transpose=True))
 
     grid = (h // th, w // tw)
     tile_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
-    const_col = pl.BlockSpec((th, th), lambda i, j: (0, 0),
+    const_col = pl.BlockSpec((8, 8), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM)
     const_row = pl.BlockSpec((tw, tw), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -128,7 +151,7 @@ def fused_recon_plane(levels: jax.Array, mult: jax.Array, flags: jax.Array,
             flops=2 * h * w * (th + tw),
             bytes_accessed=h * w * (2 + 2 + 1 + 1 + 1),
             transcendentals=0),
-    )(levels, mult, flags, pred, bd_col, bd_row)
+    )(levels, mult, flags, pred, c8, bd_row)
 
 
 # ---------------------------------------------------------------------------

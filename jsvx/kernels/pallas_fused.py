@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coding import tables as T
-from .pallas_decode import _block_diag_idct
+from ..tools import refmath
+from .pallas_decode import _block_diag_idct, _col_idct_8
 from .pallas_mc import _mv_parts
 
 QF_Q_MASK = 31
@@ -49,7 +50,7 @@ SEL_INTRA = 255
 
 def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
                   chunk_map, mv_ref, ref_hbm, lv_ref, qf_ref, sel_ref,
-                  mi_ref, mn_ref, bd_col_ref, *rest):
+                  mi_ref, mn_ref, c8_ref, *rest):
     bd_rows = rest[:-4]                    # one block per DISTINCT width
     out_ref, win_ref, pred_ref, sems = rest[-4:]
     import jax.experimental.pallas as pl
@@ -151,9 +152,12 @@ def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
     d = jnp.where((qf >> QF_INSCAN) & 1 > 0, d, 0)
     d = jnp.where((qf >> QF_DC) & 1 > 0, 8 * lv, d)
 
-    # ---- 2-D IDCT: column pass full-width, row pass per 128-col chunk ---
+    # ---- 2-D IDCT: column pass full-width as per-8-row-group dots (a
+    # tile-height-invariant contraction, see pallas_decode._col_idct_8 —
+    # bit-identical between shard and full-plane tilings), row pass per
+    # 128-col chunk ---
     f = d.astype(jnp.float32)
-    cols = jnp.dot(bd_col_ref[:], f, preferred_element_type=jnp.float32)
+    cols = _col_idct_8(c8_ref[:], f)
     for off, cw, bi in chunk_map:
         bd_row_ref = bd_rows[bi]
         rows = jnp.dot(cols[:, off:off + cw], bd_row_ref[:],
@@ -244,7 +248,7 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
          (pad_x, 128 * ((pad - 1) >> 7) + w_win - w)),
         mode="edge")
 
-    bd_col = jnp.asarray(_block_diag_idct(th, transpose=False))
+    c8 = jnp.asarray(refmath.C_BASIS.astype(np.float32))
     chunks = [128] * (w // 128)
     if w % 128:
         chunks.append(w % 128)
@@ -280,7 +284,7 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
                 pl.BlockSpec(memory_space=pl.ANY),   # padded reference
                 tile, tile, tile,                       # levels, qf, sel
                 const((th, w)), const((th, w)),         # mi, mn
-                const((th, th)),                        # bd_col
+                const((8, 8)),                          # IDCT basis C
                 *[const((int(b.shape[0]), int(b.shape[0])))
                   for b in bd_row_args],
             ],
@@ -297,7 +301,7 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
             bytes_accessed=h * w * (2 + 1 + 1 + 1) + h * w_win * 2,
             transcendentals=0),
     )(mv_scalars, refp, levels, qf, sel, jnp.asarray(mi), jnp.asarray(mn),
-      bd_col, *bd_row_args)
+      c8, *bd_row_args)
 
 
 @functools.partial(jax.jit, static_argnames=("quirk_oddify_zeros",))

@@ -267,29 +267,37 @@ def test_1080p_rows_sharded_gather_fallback():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_1080p_rows_sharded_pallas():
-    """Pallas kernels inside shard_map at 1080p shape (interpret mode).
+def test_1080p_rows_sharded_pallas_bit_equal():
+    """Pallas kernels inside shard_map at 1080p shape (interpret mode):
+    the 4-way row-sharded decode is BIT-IDENTICAL to the single-device
+    (1-row mesh) decode through the same kernels.
 
-    Tolerance note: the block-diagonal IDCT column pass sizes its matmul
-    by the tile height, which differs between a 272-row local shard
-    (th=16) and the full 1088-row plane (th=64); float32 summation-order
-    then breaks exact-.5 rounding ties on a handful of pixels (~5 in 2M,
-    CPU interpret).  Single-device Pallas-vs-XLA bit-parity at this
-    shape is pinned on real hardware by bench_1080p_parity; here the
-    sharding machinery (halo exchange, scan carry, specs) is the thing
-    under test, so assert |diff| <= 1 on <= 1e-5 of pixels.
+    This is the determinism contract (VERDICT r4 #2): reconstruction
+    must not depend on the mesh shape.  The column IDCT contracts in
+    8-row groups regardless of tile height (``_col_idct_8``), so a
+    272-row shard and the full 1088-row plane accumulate f32 in the
+    same order; the reference's per-texel passes are deterministic the
+    same way (decoders/shaders/mpeg1video.js:18-29).
     """
     stacked = _1080p_gop()
     consts = make_constants()
     refs0 = zero_refs(1088, 1920)
-    single, _ = decode_gop_scan(stacked, refs0, consts, mc_impl="mvset")
-    mesh = build_mesh({"rows": 4})
-    sharded, _ = decode_gop_rows_sharded(stacked, refs0, consts, mesh,
+    single, _ = decode_gop_rows_sharded(stacked, refs0, consts,
+                                        build_mesh({"rows": 1}),
+                                        mc_impl="pallas")
+    sharded, _ = decode_gop_rows_sharded(stacked, refs0, consts,
+                                         build_mesh({"rows": 4}),
                                          mc_impl="pallas")
     for a, b in zip(single, sharded):
-        a = np.asarray(a).astype(int)
-        b = np.asarray(b).astype(int)
-        d = np.abs(a - b)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # cross-impl sanity vs the XLA mvset scan: on CPU the two backends
+    # may differ by +/-1 on exact-.5 ties (different GEMM kernels — an
+    # impl property, not a mesh dependence; real-TPU bit-parity of
+    # XLA/Pallas/fused is pinned by bench_device_correctness and
+    # bench_1080p_parity every bench run)
+    xla, _ = decode_gop_scan(stacked, refs0, consts, mc_impl="mvset")
+    for a, b in zip(xla, sharded):
+        d = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
         assert d.max() <= 1
         assert (d > 0).mean() <= 1e-5, f"{(d > 0).sum()} pixels differ"
 
