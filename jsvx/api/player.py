@@ -162,12 +162,17 @@ class WallClockAudio:
 class _PendingRequest:
     """In-flight range request: the transport handle arrives only after
     ``request()`` returns, which for synchronous sources is after the
-    data has already been delivered and completed."""
+    data has already been delivered and completed.  ``cancelled`` marks
+    a request whose slot was cleared before the handle existed (an async
+    source whose callbacks re-enter ``request()`` via the error->seek
+    path), so the dispatcher can cancel the live handle on return
+    instead of orphaning it (ADVICE r4)."""
 
-    __slots__ = ("handle",)
+    __slots__ = ("handle", "cancelled")
 
     def __init__(self):
         self.handle = None
+        self.cancelled = False
 
 
 def _wav_duration(data: bytes) -> float | None:
@@ -184,7 +189,10 @@ def _wav_duration(data: bytes) -> float | None:
         if cid == b"fmt " and size >= 16:
             byte_rate = int.from_bytes(body[8:12], "little")
         elif cid == b"data":
-            data_size = size
+            # clamp to the bytes actually present: a truncated payload's
+            # declared size would overstate duration and skew the A/V
+            # clock (ADVICE r4)
+            data_size = min(size, max(len(data) - pos - 8, 0))
         pos += 8 + size + (size & 1)       # chunks are word-aligned
     if byte_rate and data_size is not None:
         return data_size / float(byte_rate)
@@ -401,6 +409,11 @@ class Player(EventDispatcher):
         self._stalled_byte = None
         self._resume_gate = False
         self._audio_loaded = False
+        # the preload hint applies PER resource load: a released gate on
+        # the previous src must not let the next src start fetching
+        # (ADVICE r4; the reference gates each load on the preload mode,
+        # easybits.player.js:692-697)
+        self._preload_released = False
         self.ready_state = ReadyState.HAVE_NOTHING
 
     def _fail(self, code: int, message: str) -> None:
@@ -454,9 +467,16 @@ class Player(EventDispatcher):
             s, e, self._on_chunk, on_error=self._on_net_error,
             on_complete=self._on_request_complete,
             chunk_size=self.config.chunk_size)
+        if req.cancelled and req.handle is not None:
+            # the slot was cleared while request() was in flight (an
+            # async source's reentrant callbacks): cancel the now-live
+            # handle so it cannot keep delivering into the buffer
+            self._source.cancel(req.handle)
+            req.handle = None
 
     def _cancel_request(self) -> None:
         if self._pending_request is not None and self._source is not None:
+            self._pending_request.cancelled = True
             if self._pending_request.handle is not None:
                 self._source.cancel(self._pending_request.handle)
             self._pending_request = None
@@ -779,6 +799,7 @@ class Player(EventDispatcher):
                         return
                     behind = now_ms - self._next_frame_due_ms
                     if self.config.skip_hard and behind > 2 * frame_ms:
+                        self.metrics.count("late_skips")
                         self._next_frame_due_ms = now_ms + frame_ms
                     else:
                         self._next_frame_due_ms += frame_ms

@@ -108,16 +108,18 @@ def _run_procs(stream: str, n: int, pin: bool = False,
     }
 
 
-def measure(n: int = 2, trials: int = 5, budget_s: float = 300.0,
+def measure(n: int = 2, trials: int = 7, budget_s: float = 300.0,
             stream: str | None = None) -> dict:
     """Median-of-trials pinned-core scaling efficiency for the driver
-    bench (BASELINE config 5; VERDICT r2 #6).
+    bench (BASELINE config 5; VERDICT r2 #6, r4 #6).
 
-    Every process runs pinned to a private core with a CPU JAX backend:
-    each models one HOST of a pod (per-host parse + decode are
-    physically private there; the device stage is covered by the
-    single-chip bench).  Reports the MEDIAN efficiency across trials —
-    round 2's best-of-3 on shared cores had a 50% spread.
+    Every process runs pinned to a private core (``taskset``) with a CPU
+    JAX backend: each models one HOST of a pod (per-host parse + decode
+    are physically private there; the device stage is covered by the
+    single-chip bench).  Reports the MEDIAN efficiency across >= 7
+    trials with min/max dispersion and the raw 1-proc / n-proc seconds,
+    so the 0.80 gate is visibly cleared by the median, not by a noisy
+    outlier (round 4's artifact spanned 0.904-1.055 over 5 trials).
     """
     if stream is None:
         stream = os.path.join(tempfile.gettempdir(),
@@ -139,9 +141,12 @@ def measure(n: int = 2, trials: int = 5, budget_s: float = 300.0,
                                                  3),
         "scaling_trials": len(effs),
         "scaling_effs": [round(e, 3) for e in effs],
-        "scaling_one_proc_seconds": round(float(np.median(ones)), 3),
+        "scaling_eff_min_max": [round(float(min(effs)), 3),
+                                round(float(max(effs)), 3)],
+        "scaling_one_proc_seconds": [round(s, 3) for s in ones],
         "scaling_n_procs": n,
-        "scaling_n_proc_max_seconds": round(float(np.median(manys)), 3),
+        "scaling_n_proc_max_seconds": [round(s, 3) for s in manys],
+        "scaling_pinned_cores": True,
     }
 
 

@@ -58,6 +58,39 @@ def test_cli_bench_with_device_trace(stream_file, tmp_path, capsys):
     assert found, "profiler wrote no trace files"
 
 
+def test_cli_play_realtime(stream_file, capsys):
+    """`jsvx play` drives Player.run_realtime over a file source with a
+    headless sink in faster-than-realtime mode and reports the played
+    range + event stream at exit (VERDICT r4 #7; the reference's demo
+    page as integration test, README.md:10)."""
+    path, _, _ = stream_file
+    assert cli_main(["play", path, "--seconds", "20",
+                     "--rate", "16"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ended"] is True and rep["error"] is None
+    assert rep["frames_shown"] == 6
+    # 6 frames at 30 fps = 0.2 s of media, one contiguous played range
+    assert rep["played_ranges"] == [[0.0, 0.2]]
+    assert rep["events"]["playing"] >= 1 and rep["events"]["ended"] == 1
+    assert rep["event_order"][0] == "loadstart"
+    assert rep["event_order"][-1] == "ended"
+    assert rep["events"].get("canplay", 0) >= 1
+
+
+def test_cli_play_wall_clock_pacing(stream_file, capsys):
+    """At rate 1.0 the realtime loop paces frames by the stream clock:
+    a 0.2 s clip must take >= 0.15 s wall and show every frame."""
+    import time as _t
+
+    path, _, _ = stream_file
+    t0 = _t.monotonic()
+    assert cli_main(["play", path, "--seconds", "20"]) == 0
+    wall = _t.monotonic() - t0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["frames_shown"] == 6 and rep["ended"] is True
+    assert wall >= 0.15
+
+
 def test_cli_encode_roundtrip(stream_file, tmp_path, capsys):
     _, _, clip = stream_file
     npz = str(tmp_path / "frames.npz")

@@ -18,6 +18,10 @@ from jsvx.tools.encoder import EncoderConfig, JsvEncoder
 
 from conftest import synthetic_frames
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PYPATH = REPO_ROOT + ((os.pathsep + os.environ["PYTHONPATH"])
+                       if os.environ.get("PYTHONPATH") else "")
+
 WORKER = r"""
 import json, os, sys
 import numpy as np
@@ -49,7 +53,7 @@ def test_two_process_gop_distribution(tmp_path):
     worker_py = str(tmp_path / "worker.py")
     open(worker_py, "w").write(WORKER)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=_PYPATH)
     procs = []
     for pid in range(2):
         journal = str(tmp_path / f"journal_{pid}.jsonl")
@@ -57,7 +61,7 @@ def test_two_process_gop_distribution(tmp_path):
             [sys.executable, worker_py, stream_path, journal, str(pid),
              "2"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-            cwd="/root/repo"))
+            cwd=REPO_ROOT))
     results = {}
     for p in procs:
         out, err = p.communicate(timeout=300)
@@ -153,7 +157,7 @@ def test_jax_distributed_two_process_bringup(tmp_path):
     open(worker_py, "w").write(DIST_WORKER)
     port = _free_port()
 
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+    env = dict(os.environ, PYTHONPATH=_PYPATH)
     env.pop("XLA_FLAGS", None)
     procs = []
     for pid in range(2):
@@ -162,7 +166,7 @@ def test_jax_distributed_two_process_bringup(tmp_path):
             [sys.executable, worker_py, stream_path, journal, str(pid),
              "2", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-            cwd="/root/repo"))
+            cwd=REPO_ROOT))
     results = {}
     for p in procs:
         out, err = p.communicate(timeout=300)

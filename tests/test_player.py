@@ -682,6 +682,25 @@ def test_preload_none_defers_network(stream):
     assert len(shown) == len(clip)
 
 
+def test_preload_gate_reapplies_per_source(stream):
+    """The preload hint gates EACH resource load: play() releasing the
+    gate on src A must not let a later src B start fetching on
+    assignment (ADVICE r4; easybits.player.js:692-697 gates every
+    load on the preload mode)."""
+    data, _ = stream
+    a, b = _ManualSource(data), _ManualSource(data)
+    p = Player(PlayerConfig(preload="none"), backend="oracle")
+    p.src = a
+    p.play()
+    assert a.requests, "play() lifts the gate for the current src"
+    p.pause()
+    p.src = b
+    assert b.requests == [], \
+        "a new src must re-apply the preload=none gate"
+    p.play()
+    assert b.requests
+
+
 def test_preload_none_explicit_load_fetches(stream):
     data, _ = stream
     src = _ManualSource(data)
@@ -913,3 +932,21 @@ def test_wav_duration_odd_chunk_alignment():
     body = b"WAVE" + odd + fmt + dat
     wav = b"RIFF" + (len(body)).to_bytes(4, "little") + body
     assert abs(_wav_duration(wav) - 2.0) < 1e-6
+
+
+def test_wav_duration_truncated_payload_clamped():
+    """A data chunk whose declared size exceeds the bytes actually
+    present must clamp to the real payload, not overstate the audio
+    duration and skew the A/V clock (ADVICE r4)."""
+    from jsvx.api.player import _wav_duration
+
+    byte_rate = 4000
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (4000).to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    # declares 8000 bytes (2.0 s) but ships only 2000 (0.5 s)
+    dat = b"data" + (8000).to_bytes(4, "little") + bytes(2000)
+    body = b"WAVE" + fmt + dat
+    wav = b"RIFF" + (len(body)).to_bytes(4, "little") + body
+    assert abs(_wav_duration(wav) - 0.5) < 1e-6
