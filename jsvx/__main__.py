@@ -203,8 +203,9 @@ def cmd_warm(args) -> int:
     cache_dir = os.environ.get("JSVX_JIT_CACHE", "/tmp/jsvx_jit_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # warming is the point: persist every program, even fast ones
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          0.0)
     except Exception:
         pass
     if args.stream:

@@ -132,6 +132,56 @@ def mv_capacity_for(needed: int, sticky: int = 0) -> tuple[int, int]:
     return cap, cap
 
 
+#: sentinel for "no non-zero MV index in this row" (must exceed any
+#: valid table index; table capacity tops out at 255)
+MV_LO_NONE = 1 << 20
+
+
+def mvset_sort_and_bounds(uniq: np.ndarray, inv: np.ndarray, mb_h: int,
+                          mb_w: int):
+    """Sort non-zero MV-table rows by occurrence centroid row; derive
+    per-MB-row [lo, hi] index bounds.
+
+    The Pallas MC kernels blend one full-width select per table index,
+    so their cost is O(K x pixels) per plane.  Real motion fields are
+    spatially smooth — a vector's support clusters in a few row bands —
+    so after sorting the table by each vector's centroid MB row, the
+    indices PRESENT in any row band form a near-contiguous range.  The
+    kernels then iterate only [lo, hi] of their band (plus index 0, the
+    (0,0) vector, which is handled unconditionally): measured 3-4x MC
+    speedup at 1080p with K~133 (PERF.md round 5).  Correctness does
+    not depend on the ranges being tight — a loose range only blends
+    no-op selects — and index 0 stays (0,0) (skipped MBs, I frames).
+
+    Returns ``(uniq_sorted, inv_new (mb_h, mb_w), lo (mb_h,), hi
+    (mb_h,))``; rows with no non-zero index get ``lo = MV_LO_NONE`` and
+    ``hi = 0`` (an empty range).
+    """
+    n = len(uniq)
+    if n > 2:
+        rows = np.repeat(np.arange(mb_h, dtype=np.float64), mb_w)
+        cnt = np.bincount(inv, minlength=n).astype(np.float64)
+        rowsum = np.bincount(inv, weights=rows, minlength=n)
+        centroid = rowsum / np.maximum(cnt, 1.0)
+        order = 1 + np.argsort(centroid[1:], kind="stable")
+        perm = np.empty(n, np.int64)
+        perm[0] = 0
+        perm[order] = 1 + np.arange(n - 1)
+        uniq = np.concatenate([uniq[:1], uniq[order]])
+        inv = perm[inv]
+    inv2 = inv.reshape(mb_h, mb_w).astype(np.int32)
+    pos = np.where(inv2 > 0, inv2, np.int32(MV_LO_NONE))
+    lo = pos.min(axis=1).astype(np.int32)
+    hi = inv2.max(axis=1).astype(np.int32)
+    return uniq, inv2, lo, hi
+
+
+def rows_to_blocks(arr: np.ndarray, comp: int) -> np.ndarray:
+    """Per-MB-row array -> per-block-row array for plane ``comp``
+    (luma-like planes have 2 block rows per MB row)."""
+    return arr if comp_is_chroma(comp) else np.repeat(arr, 2, axis=-1)
+
+
 def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
     """FrameTensors -> pytree of device-ready arrays.
 
@@ -167,10 +217,12 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
         if len(uniq) > mv_capacity:
             raise ValueError(
                 f"{len(uniq)} distinct MVs exceed capacity {mv_capacity}")
+        mbh, mbw = ft.mb_mv.shape[:2]
+        uniq, mv_idx, mv_lo, mv_hi = mvset_sort_and_bounds(
+            uniq, inv, mbh, mbw)
         mv_table = np.zeros((mv_capacity, 2), np.int32)
         mv_table[:len(uniq)] = uniq
         mv_count = np.int32(len(uniq))
-        mv_idx = inv.reshape(ft.mb_mv.shape[:2]).astype(np.int32)
 
     # narrow wire dtypes: these arrays cross the host->device link every
     # frame; kernels promote as needed (copy=False skips the redundant
@@ -188,6 +240,8 @@ def frame_to_device(ft, dtype_levels=np.int16, mv_capacity: int = 0) -> dict:
         )
         if mv_capacity:
             c["mv_idx"] = mb_to_blocks(mv_idx, comp).astype(np.int16)
+            c["mv_lo"] = rows_to_blocks(mv_lo, comp)
+            c["mv_hi"] = rows_to_blocks(mv_hi, comp)
         if ft.mult is not None:
             c["mult"] = ft.mult[comp]
             c["flags"] = ft.flags[comp]
@@ -397,7 +451,9 @@ def decode_frame_plane(comp_inputs: dict, ref: jax.Array, is_p: jax.Array,
 
         pred = predict_plane_mvset_pallas(
             ref, mv_table, comp_inputs["mv_idx"], comp_inputs["rep_add"],
-            is_chroma, pad=mv_pad)
+            is_chroma, pad=mv_pad,
+            lo_rows=comp_inputs.get("mv_lo"),
+            hi_rows=comp_inputs.get("mv_hi"))
     elif mc_impl == "mvset":
         pred = predict_plane_mvset(ref, mv_table, comp_inputs["mv_idx"],
                                    comp_inputs["rep_add"], is_chroma,

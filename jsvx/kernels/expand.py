@@ -132,5 +132,15 @@ def expand_compact_gop(stacked: dict, mb_h: int, mb_w: int) -> dict:
         )
         if "mv_idx" in mb:
             comp["mv_idx"] = up(mb["mv_idx"], rep)
+        if "mv_lo" in mb:
+            # per-MB-row MC index bounds -> per-block-row (1-D per frame)
+            def up_rows(a):
+                if rep == 1:
+                    return a
+                return jnp.broadcast_to(
+                    a[:, :, None], (n, mb_h, rep)).reshape(n, mb_h * rep)
+
+            comp["mv_lo"] = up_rows(mb["mv_lo"])
+            comp["mv_hi"] = up_rows(mb["mv_hi"])
         out[key] = comp
     return out

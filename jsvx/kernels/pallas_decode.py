@@ -229,7 +229,9 @@ def decode_frame_plane_pallas(comp_inputs: dict, ref: jax.Array,
 
         pred = predict_plane_mvset_pallas(
             ref, mv_table, comp_inputs["mv_idx"], comp_inputs["rep_add"],
-            is_chroma, pad=mv_pad, interpret=interpret, n_valid=mv_count)
+            is_chroma, pad=mv_pad, interpret=interpret, n_valid=mv_count,
+            lo_rows=comp_inputs.get("mv_lo"),
+            hi_rows=comp_inputs.get("mv_hi"))
     elif mc_impl == "mvset" and mv_table is not None:
         from .decode import predict_plane_mvset
 

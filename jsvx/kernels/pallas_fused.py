@@ -49,7 +49,7 @@ SEL_INTRA = 255
 
 
 def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
-                  chunk_map, mv_ref, ref_hbm, lv_ref, qf_ref, sel_ref,
+                  hb, chunk_map, mv_ref, ref_hbm, lv_ref, qf_ref, sel_ref,
                   mi_ref, mn_ref, c8_ref, *rest):
     bd_rows = rest[:-4]                    # one block per DISTINCT width
     out_ref, win_ref, pred_ref, sems = rest[-4:]
@@ -60,10 +60,26 @@ def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
     h_win = win_ref.shape[1]
     n_valid = mv_ref[2 * k_cap]
     is_p = mv_ref[2 * k_cap + 1]
-    # dynamic MC loop bound: iterations = the frame's ACTUAL distinct-MV
-    # count (0 for I pictures), so compile time no longer scales with the
-    # k_cap bucket and runtime no longer pays for table padding
-    n_iter = jnp.where(is_p > 0, n_valid, 0)
+    # dynamic MC loop bound: the blend is O(K x pixels), so each tile
+    # iterates only ITS row band's table-index range [lo, hi] (bounds
+    # per block row in mv_ref; tables centroid-row-sorted so the range
+    # is tight — mvset_sort_and_bounds) plus index 0, the (0,0) vector,
+    # unconditionally.  0 iterations for I pictures; compile time does
+    # not scale with the k_cap bucket.
+    base = 2 * k_cap + 2
+    rpt = th // 8                          # block rows per tile
+    lo_t = mv_ref[base + i * rpt]
+    hi_t = mv_ref[base + hb + i * rpt]
+    for r in range(1, rpt):
+        lo_t = jnp.minimum(lo_t, mv_ref[base + i * rpt + r])
+        hi_t = jnp.maximum(hi_t, mv_ref[base + hb + i * rpt + r])
+    lo_eff = jnp.maximum(lo_t, 1)
+    hi_eff = jnp.minimum(hi_t, n_valid - 1)
+    n_loop = jnp.maximum(hi_eff - lo_eff + 1, 0)
+    n_iter = jnp.where((is_p > 0) & (n_valid > 0), 1 + n_loop, 0)
+
+    def kof(j):
+        return jnp.where(j == 0, 0, lo_eff + j - 1)
 
     # ---- motion compensation into VMEM scratch --------------------------
     def aligned_parts(k):
@@ -82,16 +98,17 @@ def _fused_kernel(quirk, k_cap, pad_y, pad_x, th, w, w_win, is_chroma,
 
     @pl.when(n_iter > 0)
     def _():
-        start_dma(0, 0).start()
+        start_dma(0, 0).start()               # kof(0) == 0
     pred_ref[:] = jnp.zeros((th, w), jnp.int16)
     sel = sel_ref[:].astype(jnp.int32)
 
-    def mc_body(k, carry):
-        slot = jax.lax.rem(k, 2)
+    def mc_body(j, carry):
+        slot = jax.lax.rem(j, 2)
+        k = kof(j)
 
-        @pl.when(k + 1 < n_iter)
+        @pl.when(j + 1 < n_iter)
         def _():
-            start_dma(k + 1, 1 - slot).start()
+            start_dma(kof(j + 1), 1 - slot).start()
 
         start_dma(k, slot).wait()
         _, _, ry, rx = aligned_parts(k)
@@ -220,8 +237,14 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
                        intra_q_key: tuple, non_intra_q_key: tuple,
                        is_chroma: bool, quirk: bool = False,
                        pad: int = 72, th: int | None = None,
-                       interpret: bool = False) -> jax.Array:
-    """One plane of one picture -> reconstructed uint8 plane (one kernel)."""
+                       interpret: bool = False,
+                       lo_rows: jax.Array | None = None,
+                       hi_rows: jax.Array | None = None) -> jax.Array:
+    """One plane of one picture -> reconstructed uint8 plane (one kernel).
+
+    ``lo_rows``/``hi_rows`` ((h//8,) int32): per-block-row MC table-
+    index bounds (see :func:`jsvx.kernels.decode.mvset_sort_and_bounds`);
+    omitted -> trivial bounds (full scan, identical output)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -263,10 +286,15 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
 
     mi, mn = _static_tiles_np(th, w, intra_q_key, non_intra_q_key)
 
+    if lo_rows is None:
+        lo_rows = jnp.ones((h // 8,), jnp.int32)
+        hi_rows = jnp.full((h // 8,), k_cap - 1, jnp.int32)
     mv_scalars = jnp.concatenate(
         [jnp.asarray(mv_table).reshape(-1).astype(jnp.int32),
          jnp.asarray(n_valid, jnp.int32).reshape(1),
-         jnp.asarray(is_p, jnp.int32).reshape(1)])
+         jnp.asarray(is_p, jnp.int32).reshape(1),
+         jnp.asarray(lo_rows, jnp.int32).reshape(-1),
+         jnp.asarray(hi_rows, jnp.int32).reshape(-1)])
 
     tile = pl.BlockSpec((th, w), lambda i, mv: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -275,7 +303,7 @@ def fused_decode_plane(levels: jax.Array, qf: jax.Array, sel: jax.Array,
 
     return pl.pallas_call(
         functools.partial(_fused_kernel, quirk, k_cap, pad_y, pad_x, th, w,
-                          w_win, is_chroma, chunk_map),
+                          w_win, is_chroma, h // 8, chunk_map),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -347,5 +375,6 @@ def decode_frame_planes_fused(frame: dict, refs: tuple, consts,
             c["levels"].astype(jnp.int16), qf, sel, refs[i], mv_table,
             n_valid, is_p, consts.intra_q_key, consts.non_intra_q_key,
             is_chroma=comp_is_chroma(i), quirk=quirk_oddify_zeros,
-            pad=mv_pad, interpret=interpret))
+            pad=mv_pad, interpret=interpret,
+            lo_rows=c.get("mv_lo"), hi_rows=c.get("mv_hi")))
     return tuple(out)

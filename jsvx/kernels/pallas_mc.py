@@ -32,7 +32,7 @@ def _mv_parts(mv_ref, k, is_chroma):
     return vy >> 1, vy & 1, vx >> 1, vx & 1
 
 
-def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
+def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, hb, mv_ref,
                ref_hbm, idx_ref, rep_ref, out_ref, win_ref, pred_ref,
                sems):
     """Per k: DMA a tile-ALIGNED window around the (fy_k, fx_k) shift
@@ -40,6 +40,13 @@ def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
     the sub-tile remainder with dynamic rolls.  Windows are
     double-buffered so DMA k+1 overlaps compute k; entries past the
     frame's actual distinct-MV count (``mv_ref[2*k_cap]``) are skipped.
+
+    The blend is O(K x pixels), so each tile iterates only ITS row
+    band's table-index range ``[lo, hi]`` (from the per-block-row
+    bounds in ``mv_ref``; tables are centroid-row-sorted so the range
+    is tight — ``mvset_sort_and_bounds``), plus index 0 — the (0,0)
+    vector of skipped MBs — unconditionally.  Trivial bounds (lo=1,
+    hi=k_cap-1) reproduce the full scan exactly.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -47,6 +54,20 @@ def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
     i = pl.program_id(0)
     h_win = win_ref.shape[1]
     n_valid = mv_ref[2 * k_cap]
+    base = 2 * k_cap + 1
+    rpt = th // 8                          # block rows per tile
+    lo_t = mv_ref[base + i * rpt]
+    hi_t = mv_ref[base + hb + i * rpt]
+    for r in range(1, rpt):
+        lo_t = jnp.minimum(lo_t, mv_ref[base + i * rpt + r])
+        hi_t = jnp.maximum(hi_t, mv_ref[base + hb + i * rpt + r])
+    lo_eff = jnp.maximum(lo_t, 1)
+    hi_eff = jnp.minimum(hi_t, n_valid - 1)
+    n_loop = jnp.maximum(hi_eff - lo_eff + 1, 0)
+    n_iter = jnp.where(n_valid > 0, 1 + n_loop, 0)
+
+    def kof(j):
+        return jnp.where(j == 0, 0, lo_eff + j - 1)
 
     def aligned_parts(k):
         fy, _, fx, _ = _mv_parts(mv_ref, k, is_chroma)
@@ -63,23 +84,24 @@ def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
             win_ref.at[slot], sems.at[slot])
 
     # Guarded like pallas_fused: an unconsumed slot-0 DMA from a
-    # n_valid=0 call would leak its semaphore into the next grid
+    # n_iter=0 call would leak its semaphore into the next grid
     # iteration (first wait succeeds early, reads a stale window).
-    @pl.when(n_valid > 0)
+    @pl.when(n_iter > 0)
     def _():
-        start_dma(0, 0).start()
+        start_dma(0, 0).start()               # kof(0) == 0
     pred_ref[:] = jnp.zeros((th, w), jnp.int16)
     idx = idx_ref[:].astype(jnp.int32)
 
-    # dynamic loop bound: iterate the frame's ACTUAL distinct-MV count —
-    # compile time stops scaling with the k_cap bucket and padded table
-    # rows cost nothing at runtime
-    def mc_body(k, carry):
-        slot = jax.lax.rem(k, 2)
+    # dynamic loop bound: iterate this tile's band range — compile time
+    # stops scaling with the k_cap bucket and runtime with the frame's
+    # total distinct-MV count
+    def mc_body(j, carry):
+        slot = jax.lax.rem(j, 2)
+        k = kof(j)
 
-        @pl.when(k + 1 < n_valid)
+        @pl.when(j + 1 < n_iter)
         def _():
-            start_dma(k + 1, 1 - slot).start()
+            start_dma(kof(j + 1), 1 - slot).start()
 
         start_dma(k, slot).wait()
         _, _, ry, rx = aligned_parts(k)
@@ -98,7 +120,7 @@ def _mc_kernel(k_cap, pad_y, pad_x, th, w, w_win, is_chroma, mv_ref,
         pred_ref[:] = jnp.where(idx == k, interp, pred_ref[:])
         return carry
 
-    jax.lax.fori_loop(0, n_valid, mc_body, jnp.int32(0))
+    jax.lax.fori_loop(0, n_iter, mc_body, jnp.int32(0))
     rep = rep_ref[:].astype(jnp.int32)   # i16 compare unsupported
     out_ref[:] = jnp.where(rep > 0, jnp.int16(0), pred_ref[:])
 
@@ -110,12 +132,17 @@ def predict_plane_mvset_pallas(ref: jax.Array, mv_table: jax.Array,
                                rep_add_blk: jax.Array, is_chroma: bool,
                                pad: int = 72, th: int | None = None,
                                interpret: bool = False,
-                               n_valid: jax.Array | None = None
+                               n_valid: jax.Array | None = None,
+                               lo_rows: jax.Array | None = None,
+                               hi_rows: jax.Array | None = None
                                ) -> jax.Array:
     """Drop-in fast variant of ``predict_plane_mvset`` (same semantics).
 
     ``n_valid`` (scalar) bounds the populated rows of ``mv_table``;
-    padded entries are skipped entirely.
+    padded entries are skipped entirely.  ``lo_rows``/``hi_rows``
+    ((hb,) int32, per block row) bound the table indices present in
+    each row — each tile then blends only its band's range (plus index
+    0).  Omitted -> trivial bounds (the full scan, identical output).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -158,13 +185,18 @@ def predict_plane_mvset_pallas(ref: jax.Array, mv_table: jax.Array,
     grid = (h // th,)
     if n_valid is None:
         n_valid = jnp.int32(k_cap)
+    if lo_rows is None:
+        lo_rows = jnp.ones((hb,), jnp.int32)
+        hi_rows = jnp.full((hb,), k_cap - 1, jnp.int32)
     mv_scalars = jnp.concatenate(
         [jnp.asarray(mv_table).reshape(-1).astype(jnp.int32),
-         jnp.asarray(n_valid, jnp.int32).reshape(1)])
+         jnp.asarray(n_valid, jnp.int32).reshape(1),
+         jnp.asarray(lo_rows, jnp.int32).reshape(-1),
+         jnp.asarray(hi_rows, jnp.int32).reshape(-1)])
 
     out = pl.pallas_call(
         functools.partial(_mc_kernel, k_cap, pad_y, pad_x, th, w, w_win,
-                          is_chroma),
+                          is_chroma, hb),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int16),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -123,21 +123,28 @@ def _mv_unique(mb_mv: np.ndarray):
 
 def _mvset_for_frames(fts, mv_capacity: int, mb_h: int, mb_w: int,
                       uniqs: list | None = None):
-    """Per-frame distinct-MV tables/counts and per-MB index grids."""
+    """Per-frame distinct-MV tables/counts, per-MB index grids, and
+    per-MB-row [lo, hi] index bounds (tables centroid-row-sorted so the
+    bounds are tight — see ``mvset_sort_and_bounds``)."""
+    from ..kernels.decode import mvset_sort_and_bounds
+
     n = len(fts)
     tables = np.zeros((n, mv_capacity, 2), np.int32)
     counts = np.zeros((n,), np.int32)
     mv_idx = np.zeros((n, mb_h, mb_w), np.int32)
+    lo = np.zeros((n, mb_h), np.int32)
+    hi = np.zeros((n, mb_h), np.int32)
     for i, ft in enumerate(fts):
         uniq, inv = (uniqs[i] if uniqs is not None
                      else _mv_unique(ft.mb_mv))
         if len(uniq) > mv_capacity:
             raise ValueError(
                 f"{len(uniq)} distinct MVs exceed {mv_capacity}")
+        uniq, mv_idx[i], lo[i], hi[i] = mvset_sort_and_bounds(
+            uniq, inv, mb_h, mb_w)
         tables[i, :len(uniq)] = uniq
         counts[i] = len(uniq)
-        mv_idx[i] = inv.reshape(mb_h, mb_w)
-    return tables, counts, mv_idx
+    return tables, counts, mv_idx, lo, hi
 
 
 def walk_stream(data: bytes):
@@ -246,8 +253,8 @@ def parse_gop_packed(arr: np.ndarray, group: list, seq, meta,
     )
     mv_idx = None
     if mv_capacity:
-        tables, counts, mv_idx = _mvset_for_frames(fts, mv_capacity,
-                                                   mb_h, mb_w)
+        tables, counts, mv_idx, mv_lo, mv_hi = _mvset_for_frames(
+            fts, mv_capacity, mb_h, mb_w)
         out["mv_table"] = tables
         out["mv_count"] = counts
     for c in range(n_comps):
@@ -262,8 +269,12 @@ def parse_gop_packed(arr: np.ndarray, group: list, seq, meta,
             rep_add=np.ascontiguousarray(_mb_to_blocks(mb_rep_add, c)),
         )
         if mv_idx is not None:
+            from ..kernels.decode import rows_to_blocks
+
             comp["mv_idx"] = np.ascontiguousarray(
                 _mb_to_blocks(mv_idx, c).astype(np.int16))
+            comp["mv_lo"] = rows_to_blocks(mv_lo, c)
+            comp["mv_hi"] = rows_to_blocks(mv_hi, c)
         out[COMP_KEYS[c]] = comp
     return PackedGop(stacked=out, fts=fts, index=index, pooled=levels)
 
@@ -418,13 +429,17 @@ def _tree_leaves(tree):
 def attach_mvset(g: PackedGop, mv_capacity: int, seq, meta,
                  uniqs: list | None = None) -> None:
     """Add the distinct-MV sideband to a GOP parsed with capacity 0."""
-    tables, counts, mv_idx = _mvset_for_frames(
+    from ..kernels.decode import rows_to_blocks
+
+    tables, counts, mv_idx, mv_lo, mv_hi = _mvset_for_frames(
         g.fts, mv_capacity, seq.mb_height, seq.mb_width, uniqs=uniqs)
     g.stacked["mv_table"] = tables
     g.stacked["mv_count"] = counts
     for c in range(meta.n_components):
         g.stacked[COMP_KEYS[c]]["mv_idx"] = np.ascontiguousarray(
             _mb_to_blocks(mv_idx, c).astype(np.int16))
+        g.stacked[COMP_KEYS[c]]["mv_lo"] = rows_to_blocks(mv_lo, c)
+        g.stacked[COMP_KEYS[c]]["mv_hi"] = rows_to_blocks(mv_hi, c)
 
 
 def gop_mv_capacity(fts) -> int:
@@ -459,13 +474,17 @@ def parse_stream_packed(data: bytes, n_threads: int | None = None,
         mv_capacity = mv_bucket(max(
             (gop_mv_capacity(g.fts) for g in gops), default=1))
     if mv_capacity:
+        from ..kernels.decode import rows_to_blocks
+
         mb_h, mb_w = seq.mb_height, seq.mb_width
         for g in gops:
-            tables, counts, mv_idx = _mvset_for_frames(
+            tables, counts, mv_idx, mv_lo, mv_hi = _mvset_for_frames(
                 g.fts, mv_capacity, mb_h, mb_w)
             g.stacked["mv_table"] = tables
             g.stacked["mv_count"] = counts
             for c in range(meta.n_components):
                 g.stacked[COMP_KEYS[c]]["mv_idx"] = _mb_to_blocks(mv_idx, c)
+                g.stacked[COMP_KEYS[c]]["mv_lo"] = rows_to_blocks(mv_lo, c)
+                g.stacked[COMP_KEYS[c]]["mv_hi"] = rows_to_blocks(mv_hi, c)
     return PackedStream(meta=meta, seq=seq, gops=gops,
                         mv_capacity=mv_capacity)

@@ -193,22 +193,29 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
                     attach_mvset(g, gcap, seq, meta, uniqs=uniqs)
             else:
                 mb_mv = g.stacked["mb"]["mv"]
-                n = mb_mv.shape[0]
+                n, mbh, mbw = mb_mv.shape[:3]
                 uniqs = [_mv_unique(mb_mv[i]) for i in range(n)]
                 gcap, cap = mv_capacity_for(
                     max((len(u[0]) + 1 for u in uniqs), default=1), cap)
                 if gcap:
+                    from ..kernels.decode import mvset_sort_and_bounds
+
                     tables = np.zeros((n, gcap, 2), np.int32)
                     mv_counts = np.zeros((n,), np.int32)
                     mv_idx = np.zeros(mb_mv.shape[:3], np.int16)
+                    mv_lo = np.zeros((n, mbh), np.int32)
+                    mv_hi = np.zeros((n, mbh), np.int32)
                     for i, (uniq, inv) in enumerate(uniqs):
+                        uniq, idx2, mv_lo[i], mv_hi[i] = \
+                            mvset_sort_and_bounds(uniq, inv, mbh, mbw)
                         tables[i, :len(uniq)] = uniq
                         mv_counts[i] = len(uniq)
-                        mv_idx[i] = inv.reshape(
-                            mb_mv.shape[1:3]).astype(np.int16)
+                        mv_idx[i] = idx2.astype(np.int16)
                     g.stacked["mv_table"] = tables
                     g.stacked["mv_count"] = mv_counts
                     g.stacked["mb"]["mv_idx"] = mv_idx
+                    g.stacked["mb"]["mv_lo"] = mv_lo
+                    g.stacked["mb"]["mv_hi"] = mv_hi
                 # ONE contiguous buffer -> ONE host->device transfer per
                 # GOP (vs one per pytree leaf): on high-latency links the
                 # per-leaf round trips, not bandwidth, bound throughput
@@ -229,6 +236,29 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
     pool = BufferPool()
     n_frames = 0
     last_wire = None
+
+    def flush(pending):
+        """Complete + deliver a dispatched GOP (runs one GOP behind the
+        dispatch, so the fetch overlaps the NEXT GOP's device work —
+        the batch analog of the reference's display(n) overlapping
+        decode(n+1), easybits.player.js:2451-2505)."""
+        nonlocal n_frames
+        gi, g, outs, compact = pending
+        with metrics.timers.stage("device_wait"):
+            jax.block_until_ready(outs)
+        for buf in g.pooled:
+            pool.release(buf)
+        if sink is not None:
+            with metrics.timers.stage("sink"):
+                sink(gi, outs)
+        nf = len(g.hdrs) if compact else len(g.fts)
+        n_frames += nf
+        metrics.count("frames", nf)
+        metrics.count("gops")
+        if manifest is not None:
+            manifest.mark_done(gi, frames=nf)
+
+    pending = None
     nxt = parse_one(todo[0], pool) if todo else None
     for i, gi in enumerate(todo):
         g = nxt
@@ -254,19 +284,11 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
                     g.device_stacked, refs, consts, False,
                     mc_impl=g.mc_impl, impl=impl)
         nxt = parse_one(todo[i + 1], pool) if i + 1 < len(todo) else None
-        with metrics.timers.stage("device_wait"):
-            jax.block_until_ready(outs)
-        for buf in g.pooled:
-            pool.release(buf)
-        if sink is not None:
-            with metrics.timers.stage("sink"):
-                sink(gi, outs)
-        nf = len(g.hdrs) if compact else len(g.fts)
-        n_frames += nf
-        metrics.count("frames", nf)
-        metrics.count("gops")
-        if manifest is not None:
-            manifest.mark_done(gi, frames=nf)
+        if pending is not None:
+            flush(pending)
+        pending = (gi, g, outs, compact)
+    if pending is not None:
+        flush(pending)
 
     if probe_expand and last_wire is not None:
         import time as _time

@@ -149,11 +149,18 @@ def _decode_frame_local(frame, refs, consts, halo_y, axis_name, h_globals,
                                                      fused_recon_plane)
                 from ..kernels.pallas_mc import predict_plane_mvset_pallas
 
+                lo_ext = hi_ext = None
+                if "mv_lo" in ci:
+                    lo_ext = jnp.pad(ci["mv_lo"], (hb_halo, hb_halo),
+                                     mode="edge")
+                    hi_ext = jnp.pad(ci["mv_hi"], (hb_halo, hb_halo),
+                                     mode="edge")
                 pred = predict_plane_mvset_pallas(
                     ext, frame["mv_table"], idx_ext, rep_ext,
                     comp_is_chroma(comp), pad=max(halo, 8),
-                    interpret=interpret,
-                    n_valid=frame.get("mv_count"))[halo:halo + h_local]
+                    interpret=interpret, n_valid=frame.get("mv_count"),
+                    lo_rows=lo_ext,
+                    hi_rows=hi_ext)[halo:halo + h_local]
                 pred = pred * frame["is_p"].astype(jnp.int32)
                 mult, flags = expand_sideband(ci, consts, frame["is_p"])
                 outs.append(fused_recon_plane(
@@ -210,6 +217,7 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
 
     has_mvset = "mv_table" in stacked
     has_sideband = "mult" in stacked["y"]
+    has_bounds = "mv_lo" in stacked["y"]
 
     def comp_spec():
         d = dict(levels=P(None, axis_name, None),
@@ -220,6 +228,10 @@ def decode_gop_rows_sharded(stacked: dict, init_refs: tuple,
                  rep_add=P(None, axis_name, None))
         if has_mvset:
             d["mv_idx"] = P(None, axis_name, None)
+        if has_bounds:
+            # per-block-row MC index bounds shard with their rows
+            d["mv_lo"] = P(None, axis_name)
+            d["mv_hi"] = P(None, axis_name)
         if has_sideband:
             d["mult"] = P(None, axis_name, None)
             d["flags"] = P(None, axis_name, None)
@@ -279,6 +291,7 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
 
     has_mvset = "mv_table" in batch
     has_sideband = "mult" in batch["y"]
+    has_bounds = "mv_lo" in batch["y"]
 
     def comp_spec():
         d = dict(levels=P(gop_axis, None, rows_axis, None),
@@ -289,6 +302,9 @@ def decode_gops_2d_sharded(batch: dict, init_refs: tuple,
                  rep_add=P(gop_axis, None, rows_axis, None))
         if has_mvset:
             d["mv_idx"] = P(gop_axis, None, rows_axis, None)
+        if has_bounds:
+            d["mv_lo"] = P(gop_axis, None, rows_axis)
+            d["mv_hi"] = P(gop_axis, None, rows_axis)
         if has_sideband:
             d["mult"] = P(gop_axis, None, rows_axis, None)
             d["flags"] = P(gop_axis, None, rows_axis, None)

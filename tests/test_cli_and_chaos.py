@@ -91,6 +91,27 @@ def test_cli_play_wall_clock_pacing(stream_file, capsys):
     assert wall >= 0.15
 
 
+def test_cli_warm_populates_cache(tmp_path, capsys, monkeypatch):
+    """`jsvx warm STREAM` compiles the decode+wire programs into the
+    persistent cache and reports cold vs warm decode times (VERDICT r4
+    #4: first-touch compile is a product cost; deployments warm ahead
+    of traffic).  Uses a shape no other test compiles so the programs
+    are genuinely fresh in this process."""
+    clip = synthetic_frames(4, 80, 96, seed=77)
+    data = JsvEncoder(96, 80, EncoderConfig(
+        gop_size=4, quantizer_scale=5)).encode(clip)
+    path = str(tmp_path / "warmclip.jsv")
+    open(path, "wb").write(data)
+    cache = str(tmp_path / "jit_cache")
+    monkeypatch.setenv("JSVX_JIT_CACHE", cache)
+    assert cli_main(["warm", path]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["frames"] == 4
+    assert rep["warm_decode_s"] < rep["compile_plus_first_decode_s"]
+    assert os.path.isdir(cache) and os.listdir(cache), \
+        "warm must populate the persistent compile cache"
+
+
 def test_cli_encode_roundtrip(stream_file, tmp_path, capsys):
     _, _, clip = stream_file
     npz = str(tmp_path / "frames.npz")

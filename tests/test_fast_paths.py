@@ -43,6 +43,54 @@ def test_frame_to_device_mv_table(tiny_clip):
         assert np.array_equal(tbl[idx], d["y"]["mv"])
 
 
+def test_mv_bounds_sound_and_equal(tiny_clip):
+    """Per-block-row MC index bounds (mvset_sort_and_bounds): (a) every
+    index present in a row lies within that row's [lo, hi]; (b) the
+    Pallas paths decode BIT-IDENTICALLY with bounds vs without them
+    (trivial full-scan bounds) — bounds only skip no-op blends."""
+    from jsvx.kernels.pallas_fused import decode_frame_planes_fused
+
+    frames = _stream_frames(tiny_clip, gop_size=3, quantizer_scale=4,
+                            me_range=4, half_pel_refine=True)
+    consts = make_constants(frames[0][1])
+    seq = frames[0][1]
+    z = lambda h, w: np.zeros((h, w), np.uint8)  # noqa: E731
+    refs = (z(seq.coded_height, seq.coded_width),
+            z(seq.coded_height // 2, seq.coded_width // 2),
+            z(seq.coded_height // 2, seq.coded_width // 2))
+    checked_nontrivial = False
+    for ft, seq in frames:
+        cap = mv_bucket(len(np.unique(ft.mb_mv.reshape(-1, 2),
+                                      axis=0)) + 1)
+        d = frame_to_device(ft, mv_capacity=cap)
+        for key in ("y", "cb", "cr"):
+            idx, lo, hi = (np.asarray(d[key]["mv_idx"]),
+                           np.asarray(d[key]["mv_lo"]),
+                           np.asarray(d[key]["mv_hi"]))
+            nz = idx > 0
+            for r in range(idx.shape[0]):
+                if nz[r].any():
+                    assert idx[r][nz[r]].min() >= lo[r]
+                    assert idx[r].max() <= hi[r]
+            if (hi - np.minimum(lo, hi)).max() + 1 < int(idx.max()):
+                checked_nontrivial = True
+        d_trivial = {
+            k: ({kk: vv for kk, vv in v.items()
+                 if kk not in ("mv_lo", "mv_hi")}
+                if isinstance(v, dict) else v)
+            for k, v in d.items()}
+        a = decode_frame_planes_fused(d, refs, consts, interpret=True)
+        b = decode_frame_planes_fused(d_trivial, refs, consts,
+                                      interpret=True)
+        ap = decode_frame_planes_pallas(d, refs, consts, interpret=True)
+        for pa, pb, pc in zip(a, b, ap):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
+            assert np.array_equal(np.asarray(pa), np.asarray(pc))
+        refs = tuple(np.asarray(p) for p in a)
+    assert checked_nontrivial, \
+        "fixture never produced a band tighter than the full range"
+
+
 def test_mvset_equals_gather_on_stream(tiny_clip):
     frames = _stream_frames(tiny_clip, gop_size=3, quantizer_scale=4)
     consts = None
