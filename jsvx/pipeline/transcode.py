@@ -246,8 +246,8 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
         gi, g, outs, compact = pending
         with metrics.timers.stage("device_wait"):
             jax.block_until_ready(outs)
-        for buf in g.pooled:
-            pool.release(buf)
+        for buf in g.pooled:               # dense fallback: freed here;
+            pool.release(buf)              # compact GOPs freed earlier
         if sink is not None:
             with metrics.timers.stage("sink"):
                 sink(gi, outs)
@@ -271,6 +271,13 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
             # separated from the expand+decode time in device_wait
             with metrics.timers.stage("wire_wait"):
                 jax.block_until_ready(g.device_wire)
+            # the upload is complete -> the pooled host buffers are free
+            # NOW, in time for the next parse to reuse them (releasing
+            # in flush() — one GOP later — made every parse allocate
+            # fresh multi-MB buffers: parse stage 0.13 -> 0.30 s)
+            for buf in g.pooled:
+                pool.release(buf)
+            g.pooled = []
         with metrics.timers.stage("device_dispatch"):
             refs = zero_refs(seq.coded_height, seq.coded_width,
                              n_comps=meta.n_components)
