@@ -274,10 +274,15 @@ def _transcode_compact(data: bytes, sink, *, impl: str,
             # the upload is complete -> the pooled host buffers are free
             # NOW, in time for the next parse to reuse them (releasing
             # in flush() — one GOP later — made every parse allocate
-            # fresh multi-MB buffers: parse stage 0.13 -> 0.30 s)
-            for buf in g.pooled:
-                pool.release(buf)
-            g.pooled = []
+            # fresh multi-MB buffers: parse stage 0.13 -> 0.30 s).
+            # ONLY where device_put actually copies: the CPU backend
+            # ALIASES the host buffer zero-copy (measured: mutating the
+            # numpy array after block_until_ready changes the "device"
+            # array), so there the buffers stay live until flush().
+            if jax.devices()[0].platform != "cpu":
+                for buf in g.pooled:
+                    pool.release(buf)
+                g.pooled = []
         with metrics.timers.stage("device_dispatch"):
             refs = zero_refs(seq.coded_height, seq.coded_width,
                              n_comps=meta.n_components)
