@@ -153,6 +153,10 @@ def cmd_play(args) -> int:
     p.set_frame_sink(lambda f, t: shown.append(t))
     p.src = args.stream
     p.playback_rate = args.rate
+    if args.start:
+        # seek before playback (GOP-key-map assisted, <= 150 ms
+        # precision — decoders/jsv.js:1618-1648)
+        p.current_time = args.start
     p.play()
     p.run_realtime()
     t0 = time.monotonic()
@@ -305,6 +309,8 @@ def main(argv=None) -> int:
                     help="max wall-clock run time")
     pp.add_argument("--rate", type=float, default=1.0,
                     help="playback rate (>1 = faster than realtime)")
+    pp.add_argument("--start", type=float, default=0.0,
+                    help="seek to this time (s) before playing")
     pp.add_argument("--audio", default=None, metavar="WAV",
                     help="companion WAV for the A/V clock")
     pp.add_argument("--skip-hard", action="store_true",

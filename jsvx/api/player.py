@@ -551,6 +551,14 @@ class Player(EventDispatcher):
         d = self.decoder
         if d is None or self._seeking or getattr(self, "_filling", False):
             return
+        if self._pending_seek_ms is not None:
+            # a seek issued before metadata must not be dropped when the
+            # source finished delivering before the header parsed (no
+            # further _on_chunk would retry it) — decoding from 0 past a
+            # requested position would be wrong output, not just late
+            self._try_pending_seek()
+            if self._pending_seek_ms is not None:
+                return                     # still unresolvable: no decode
         self._filling = True
         try:
             self._fill_queue_inner(d)

@@ -127,6 +127,22 @@ def test_cli_play_over_http(stream_file, capsys):
         srv.server_close()
 
 
+def test_cli_play_with_start_seek(stream_file, capsys):
+    """`jsvx play --start T` seeks (key-map assisted, <=150 ms) before
+    the realtime loop: played range starts at the second GOP."""
+    path, _, _ = stream_file
+    # 6 frames at 30 fps, gop_size 3 -> GOP 1 starts at t=0.1; a target
+    # of 0.19 is > 150 ms from GOP 0, so the key-map seek must land on
+    # GOP 1 (within precision), skipping the first GOP's frames
+    assert cli_main(["play", path, "--seconds", "20", "--rate", "16",
+                     "--start", "0.19"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ended"] is True and rep["error"] is None
+    assert rep["frames_shown"] == 3
+    (a, b), = rep["played_ranges"]
+    assert abs(a - 0.1) <= 0.151 and abs(b - 0.2) < 1e-6
+
+
 def test_cli_play_with_wav_audio_clock(stream_file, tmp_path, capsys):
     """`jsvx play --audio X.wav` drives the A/V sync against a
     WallClockAudio parsed from a RIFF/WAVE header."""
