@@ -315,6 +315,12 @@ def bench_end_to_end(partial_sink=None) -> dict:
             "decode_s": (round(max(dw / n_gops - expand_s, 0.0), 4)
                          if expand_s is not None else None),
             "sink_s": round(trials.get("sink", 0.0) / n_gops, 4),
+            # decode_s is the UN-OVERLAPPED decode tail: frames are
+            # delivered one GOP behind the dispatch, so expand+decode
+            # usually hide behind the next GOP's transfer+parse and
+            # device_wait ~ 0; the pure decode rate is the headline
+            # device metric ("value")
+            "note": "pipelined: decode overlaps next GOP transfer/parse",
         },
         "stream_bytes": len(data),
         "n_frames": res.n_frames,
