@@ -241,6 +241,7 @@ def bench_end_to_end(partial_sink=None) -> dict:
     res = transcode(data, sink=sink)       # warm + compile
     _stage("e2e: warm done")
 
+    gate_expired = False
     go_file = os.environ.get("JSVX_E2E_GO_FILE")
     if go_file:
         timeout = float(os.environ.get("JSVX_E2E_GO_TIMEOUT_S", "600"))
@@ -248,7 +249,10 @@ def bench_end_to_end(partial_sink=None) -> dict:
         while (not os.path.exists(go_file)
                and time.monotonic() - t0 < timeout):
             time.sleep(1.0)
-        _stage(f"e2e: go signal after {time.monotonic() - t0:.0f}s wait")
+        gate_expired = not os.path.exists(go_file)
+        _stage(f"e2e: go signal after {time.monotonic() - t0:.0f}s wait"
+               + (" (EXPIRED — trials run ungated)" if gate_expired
+                  else ""))
 
     best = float("inf")
     trials = {}
@@ -332,6 +336,11 @@ def bench_end_to_end(partial_sink=None) -> dict:
             res.n_frames / max(wire / (put_mb_s * 1e6), 1e-9), 1),
     }
     out.update(_motion_stats(data))
+    if gate_expired:
+        # the timed trials ran without the parent's go signal, possibly
+        # against its device traffic: mark the number as contaminated
+        # instead of letting the artifact pass it off as clean
+        out["e2e_gate_expired_trials_ungated"] = True
     _stage("e2e: complete")
     return out
 
@@ -377,6 +386,8 @@ def spawn_e2e(cache_dir: str):
     code = _E2E_CHILD_CODE.format(r=repo, c=cache_dir)
     proc = subprocess.Popen([sys.executable, "-c", code],
                             stdout=out_f, stderr=err_f, cwd=repo, env=env)
+    out_f.close()                          # the child holds the fds now
+    err_f.close()
     return {"proc": proc, "out": out_f.name, "err": err_f.name,
             "go_file": go_file}
 
@@ -402,13 +413,18 @@ def collect_e2e(handle, deadline_monotonic: float) -> dict:
         proc.wait(timeout=30)
     out = open(handle["out"]).read()
     err = open(handle["err"]).read()
-    try:
-        os.unlink(handle["go_file"])
-    except OSError:
-        pass
+    for p in (handle["go_file"], handle["out"], handle["err"]):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
     for line in reversed(out.splitlines()):
         if line.startswith("E2E_JSON "):
-            return _json.loads(line[len("E2E_JSON "):])
+            try:
+                return _json.loads(line[len("E2E_JSON "):])
+            except ValueError:
+                continue               # torn by the kill: try the
+                                       # banked earlier line instead
     stages = [ln for ln in err.splitlines() if ln.startswith("[bench")]
     return {
         "end_to_end": ("timeout_killed" if timed_out

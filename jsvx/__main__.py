@@ -5,7 +5,7 @@ Usage:
   python -m jsvx decode CLIP.jsv OUT_DIR [--rgb] [--impl pallas|xla|oracle]
   python -m jsvx encode FRAMES.npy CLIP.jsv [--gop 12] [--q 8]
   python -m jsvx bench CLIP.jsv
-  python -m jsvx play CLIP.jsv [--seconds 10] [--rate 1.0] [--audio X.wav]
+  python -m jsvx play CLIP.jsv [--seconds 30] [--rate 1.0] [--audio X.wav]
   python -m jsvx warm CLIP.jsv | --shape 1920x1088 [--gop 4] [--q 6]
 """
 
@@ -140,10 +140,10 @@ def cmd_play(args) -> int:
     p = Player(config=cfg, audio_clock=audio)
     counts: dict[str, int] = {}
     order: list[str] = []
-    for ev in ("loadstart", "loadedmetadata", "canplay", "canplaythrough",
-               "playing", "waiting", "stalled", "unstalled", "seeking",
-               "seeked", "timeupdate", "ended", "error", "bitratechange",
-               "suspend"):
+    for ev in ("loadstart", "progress", "loadedmetadata", "canplay",
+               "canplaythrough", "playing", "waiting", "stalled",
+               "unstalled", "seeking", "seeked", "timeupdate", "ended",
+               "error", "bitratechange", "suspend"):
         def bump(*a, _e=ev):
             counts[_e] = counts.get(_e, 0) + 1
             if _e != "timeupdate" and (not order or order[-1] != _e):

@@ -312,6 +312,10 @@ class Player(EventDispatcher):
         self._load(explicit=True)
 
     def _load(self, explicit: bool) -> None:
+        with self._lock:
+            self._load_locked(explicit)
+
+    def _load_locked(self, explicit: bool) -> None:
         if not self._sources:
             self.network_state = NetworkState.NETWORK_NO_SOURCE
             return
@@ -745,26 +749,31 @@ class Player(EventDispatcher):
         return self._audio_unlocked
 
     def play(self) -> None:
-        if not self._paused:
-            return
-        self._paused = False
-        self._ended = False
-        self._release_preload()
-        self.emit("play")
-        if self._audio_unlocked:
-            self.audio.play()
-        self._played_anchor = self.current_time
-        self._next_frame_due_ms = None
-        self.emit("playing")
-        self._fill_queue()
+        # the reference is single-threaded JS; here asynchronous sources
+        # deliver on their own threads, so every public mutator must
+        # serialize against the locked delivery path (_on_chunk)
+        with self._lock:
+            if not self._paused:
+                return
+            self._paused = False
+            self._ended = False
+            self._release_preload()
+            self.emit("play")
+            if self._audio_unlocked:
+                self.audio.play()
+            self._played_anchor = self.current_time
+            self._next_frame_due_ms = None
+            self.emit("playing")
+            self._fill_queue()
 
     def pause(self) -> None:
-        if self._paused:
-            return
-        self._paused = True
-        self.audio.pause()
-        self._record_played()
-        self.emit("pause")
+        with self._lock:
+            if self._paused:
+                return
+            self._paused = True
+            self.audio.pause()
+            self._record_played()
+            self.emit("pause")
 
     def _record_played(self) -> None:
         if self._played_anchor is None:
@@ -982,22 +991,27 @@ class Player(EventDispatcher):
     # Seeking
 
     def _seek(self, target_ms: float, resume: bool = False) -> None:
-        d = self.decoder
-        if d is None or d.meta is None:
-            self._pending_seek_ms = target_ms
-            return
-        dur_ms = d.meta.duration * 1000.0
-        target_ms = min(max(target_ms, 0.0), dur_ms)
-        self._release_preload()            # seeking implies data loading
-        self._record_played()
-        self._seeking = True
-        self._frames.clear()
-        self.emit("seeking")
-        self.audio.pause()
-        if d.seek(target_ms):
-            self._finish_seek(target_ms, resume)
-        else:
-            self._pending_seek_ms = target_ms
+        # serialized against the delivery thread: an unlocked seek racing
+        # _on_chunk's _fill_queue could reposition the decoder mid-decode
+        # and double-deliver a GOP (observed as duplicated frames in the
+        # play CLI's seek-before-metadata race)
+        with self._lock:
+            d = self.decoder
+            if d is None or d.meta is None:
+                self._pending_seek_ms = target_ms
+                return
+            dur_ms = d.meta.duration * 1000.0
+            target_ms = min(max(target_ms, 0.0), dur_ms)
+            self._release_preload()        # seeking implies data loading
+            self._record_played()
+            self._seeking = True
+            self._frames.clear()
+            self.emit("seeking")
+            self.audio.pause()
+            if d.seek(target_ms):
+                self._finish_seek(target_ms, resume)
+            else:
+                self._pending_seek_ms = target_ms
 
     def _try_pending_seek(self) -> None:
         target = self._pending_seek_ms
@@ -1009,6 +1023,11 @@ class Player(EventDispatcher):
             self._finish_seek(target, resume=not self._paused)
 
     def _finish_seek(self, target_ms: float, resume: bool) -> None:
+        # drop pre-seek frames: when a seek was PENDING (issued before
+        # metadata), frames decoded from the old position may have been
+        # queued between the request and its resolution — _seek only
+        # clears the queue on its immediate path
+        self._frames.clear()
         self._seeking = False
         self._av_hold = None
         self._resume_gate = False

@@ -121,7 +121,8 @@ def test_cli_play_over_http(stream_file, capsys):
         rep = json.loads(capsys.readouterr().out)
         assert rep["ended"] is True and rep["error"] is None
         assert rep["frames_shown"] == 6
-        assert rep["events"].get("progress", 0) or True
+        # ranged-HTTP chunk delivery fired progress events
+        assert rep["events"].get("progress", 0) >= 1
     finally:
         srv.shutdown()
         srv.server_close()
