@@ -559,44 +559,29 @@ def bench_scaling(budget_s: float = 300.0) -> dict:
     return measure(n=2, trials=7, budget_s=budget_s)
 
 
-def main() -> None:
+def bench_device_phases(fix: str | None) -> dict:
+    """Device metric + correctness gate + 1080p parity, in THIS process.
+
+    Raises on a fatal device error (e.g. the axon tunnel's transient
+    "TPU worker process crashed" — observed in ~2/9 round-5 runs during
+    the sustained chained run); :func:`main` then retries the whole
+    phase in a FRESH subprocess, whose new backend connection is
+    healthy (the e2e child demonstrably survives a parent-side crash).
+    """
     import jax
     import jax.numpy as jnp
 
     from jsvx.kernels.decode import make_constants
     from jsvx.pipeline.gop import decode_gop_scan, zero_refs
 
-    # persistent XLA compilation cache: the bench compiles several large
-    # programs (chained scan, e2e scan, 3 kernel impls at two shapes);
-    # repeat driver runs must not pay cold-compile time again.  NOTE the
-    # cache key of a program depends on the process's trace history, so
-    # hits require re-running the same entry command (python bench.py)
-    # on unchanged code — which is exactly the driver pattern.
-    cache_dir = os.environ.get("JSVX_JIT_CACHE", "/tmp/jsvx_jit_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-    t_start = time.monotonic()
-    budget_s = float(os.environ.get("JSVX_BENCH_BUDGET_S", "900"))
-
-    def left() -> float:
-        return budget_s - (time.monotonic() - t_start)
-
     platform = jax.devices()[0].platform
     impl = "xla" if platform == "cpu" else "fused"
 
     consts = make_constants()
-    e2e_handle = None
     content_stats = {}
-    if platform != "cpu":
+    if fix is not None and platform != "cpu":
         # REAL CONTENT device metric (VERDICT r4 #3): the 1080p bench
-        # fixture's first GOP, native-parsed to device tensors.  The
-        # fixture is created BEFORE the child spawns (both need it).
-        fix = ensure_fixture()
-        e2e_handle = spawn_e2e(cache_dir)
-        _stage("e2e child spawned (concurrent compile)")
+        # fixture's first GOP, native-parsed to device tensors.
         fdata = open(fix, "rb").read()
         stacked, seq, content_stats = load_fixture_gop(fdata)
         consts = make_constants(seq)
@@ -607,7 +592,7 @@ def main() -> None:
                f"{content_stats['coded_coefficients_per_frame']} coefs, "
                f"K={content_stats['distinct_mvs_per_frame']}")
     else:
-        # CI smoke: synthetic tensors, no subprocess
+        # CI smoke: synthetic tensors
         mb_h, mb_w = 68, 120
         n_frames = 2
         data = jax.device_put(build_gop(mb_h, mb_w, n_frames, seed=999))
@@ -653,42 +638,164 @@ def main() -> None:
 
     jax.block_until_ready(data)
 
-    # calibrate K so one timed call covers >= ~1.2 s of device work
+    # calibrate K so one timed call covers >= ~1.2 s of device work.
+    # MIN of 3 calibration shots: the concurrent e2e child's warm pass
+    # can claim the device during a single shot and inflate it 10x
+    # (observed: k=7 and an invalid 0.06 s timed run in a fully-warm
+    # round-5 trial)
     np.asarray(chained(jnp.int32(2), data, refs, jnp.int32(99)))  # compile
     _stage("chained program compiled")
-    t0 = time.perf_counter()
-    np.asarray(chained(jnp.int32(2), data, refs, jnp.int32(1)))
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chained(jnp.int32(2), data, refs, jnp.int32(1)))
+        cal = min(cal, time.perf_counter() - t0)
     # calibration only: net out the (dominant, jittery) tunnel round-trip
     # to estimate per-scan device time; the timed run below never
     # subtracts anything
-    per_scan = max((time.perf_counter() - t0 - round_trip) / 2, 1e-6)
+    per_scan = max((cal - round_trip) / 2, 1e-6)
     k_iters = max(2, int(np.ceil(1.5 / per_scan)))
     if platform == "cpu":
         k_iters = min(k_iters, 4)          # CI smoke: keep CPU runs short
     np.asarray(chained(jnp.int32(k_iters), data, refs, jnp.int32(98)))
 
-    trials = 3 if platform != "cpu" else 1
-    best = float("inf")
-    for t in range(trials):
-        t0 = time.perf_counter()
-        np.asarray(chained(jnp.int32(k_iters), data, refs, jnp.int32(t)))
-        best = min(best, time.perf_counter() - t0)
+    def run_trials(k):
+        n = 3 if platform != "cpu" else 1
+        b = float("inf")
+        for t in range(n):
+            t0 = time.perf_counter()
+            np.asarray(chained(jnp.int32(k), data, refs, jnp.int32(t)))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    best = run_trials(k_iters)
+    if platform != "cpu" and best < 0.6:
+        # calibration was contaminated after all: rescale the trip count
+        # to the MEASURED per-scan rate and re-time (the compiled
+        # program takes k as data, so this costs no recompile)
+        k_iters = max(int(np.ceil(k_iters * 1.5 / max(best, 1e-3))),
+                      2 * k_iters)
+        _stage(f"device metric too short; rescaled to k={k_iters}")
+        best = run_trials(k_iters)
     _stage(f"device metric done (k={k_iters}, best={best:.2f}s)")
 
     fps = k_iters * n_frames / best
     measurement_invalid = bool(best < 10 * round_trip
                                or (platform != "cpu" and best < 0.5))
-    e2e = {}
+    dev = {
+        "value": round(fps, 2),
+        "vs_baseline": round(fps / 300.0, 3),
+        "measurement_invalid": measurement_invalid,
+        "timed_seconds": round(best, 3),
+        "chained_iters": k_iters,
+        "round_trip_s": round(round_trip, 4),
+        "device_metric_content": (
+            {"source": "1080p bench fixture GOP 0 (native parse)",
+             **content_stats} if content_stats
+            else {"source": "synthetic (CPU CI smoke)"}),
+    }
     try:
-        e2e.update(bench_device_correctness())
+        dev.update(bench_device_correctness())
     except Exception as e:
-        e2e["correctness_error"] = repr(e)[:200]
+        dev["correctness_error"] = repr(e)[:200]
     _stage("correctness gate done")
     try:
-        e2e.update(bench_1080p_parity())
+        dev.update(bench_1080p_parity())
     except Exception as e:
-        e2e["parity_1080p_error"] = repr(e)[:200]
+        dev["parity_1080p_error"] = repr(e)[:200]
     _stage("1080p parity done")
+    return dev
+
+
+# Fixed subprocess command (stable persistent-cache identity, like the
+# e2e child).
+_DEV_CHILD_CODE = (
+    "import sys, json; sys.path.insert(0, {r!r})\n"
+    "import jax\n"
+    "jax.config.update('jax_compilation_cache_dir', {c!r})\n"
+    "jax.config.update("
+    "'jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+    "import bench\n"
+    "print('DEV_JSON ' + json.dumps("
+    "bench.bench_device_phases(bench.ensure_fixture())), flush=True)\n"
+)
+
+
+def bench_device_phases_isolated(cache_dir: str,
+                                 timeout_s: float) -> dict:
+    """Retry the device phases in a fresh subprocess after an in-process
+    backend crash (the crashed PJRT client cannot recover in-process)."""
+    import json as _json
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _DEV_CHILD_CODE.format(r=repo, c=cache_dir)
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s,
+                           cwd=repo)
+    except subprocess.TimeoutExpired:
+        return {"value": 0.0, "vs_baseline": 0.0,
+                "measurement_invalid": True,
+                "device_phases": "subprocess_timeout"}
+    for line in reversed(p.stdout.decode().splitlines()):
+        if line.startswith("DEV_JSON "):
+            try:
+                return _json.loads(line[len("DEV_JSON "):])
+            except ValueError:
+                continue
+    return {"value": 0.0, "vs_baseline": 0.0, "measurement_invalid": True,
+            "device_phases_error":
+            (p.stderr.decode()[-300:] or f"rc={p.returncode}")}
+
+
+def main() -> None:
+    import jax
+
+    # persistent XLA compilation cache: the bench compiles several large
+    # programs (chained scan, e2e scan, 3 kernel impls at two shapes);
+    # repeat driver runs must not pay cold-compile time again.  NOTE the
+    # cache key of a program depends on the process's trace history, so
+    # hits require re-running the same entry command (python bench.py)
+    # on unchanged code — which is exactly the driver pattern.
+    cache_dir = os.environ.get("JSVX_JIT_CACHE", "/tmp/jsvx_jit_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("JSVX_BENCH_BUDGET_S", "900"))
+
+    def left() -> float:
+        return budget_s - (time.monotonic() - t_start)
+
+    platform = jax.devices()[0].platform
+    e2e_handle = None
+    fix = None
+    if platform != "cpu":
+        # the fixture is created BEFORE the child spawns (both need it)
+        fix = ensure_fixture()
+        e2e_handle = spawn_e2e(cache_dir)
+        _stage("e2e child spawned (concurrent compile)")
+    try:
+        if os.environ.get("JSVX_FORCE_DEVICE_SUBPROC"):
+            raise RuntimeError("forced device-subprocess test mode")
+        dev = bench_device_phases(fix)
+    except Exception as e:
+        # transient axon tunnel fault ("TPU worker process crashed"):
+        # the in-process backend is poisoned, but a fresh subprocess
+        # gets a healthy connection — never lose the whole artifact
+        _stage(f"device phases crashed in-process ({repr(e)[:120]}); "
+               "retrying in a fresh subprocess")
+        if platform != "cpu":
+            dev = bench_device_phases_isolated(
+                cache_dir, timeout_s=float(np.clip(left() - 240, 120,
+                                                   600)))
+            dev["in_process_device_crash"] = repr(e)[:160]
+        else:
+            raise
+    e2e = {}
     if e2e_handle is not None:
         # parent device stages done: release the child's timed trials,
         # then run the (CPU-subprocess) scaling stage while it measures
@@ -720,20 +827,11 @@ def main() -> None:
         _stage("end-to-end done")
     out = {
         "metric": "1080p_device_decode_frames_per_s_per_chip",
-        "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 300.0, 3),
-        "measurement_invalid": measurement_invalid,
-        "timed_seconds": round(best, 3),
-        "chained_iters": k_iters,
-        "round_trip_s": round(round_trip, 4),
         "host_cores": os.cpu_count(),
-        "device_metric_content": (
-            {"source": "1080p bench fixture GOP 0 (native parse)",
-             **content_stats} if content_stats
-            else {"source": "synthetic (CPU CI smoke)"}),
         "bench_wall_s": round(time.monotonic() - t_start, 1),
     }
+    out.update(dev)
     out.update(e2e)
     print(json.dumps(out))
 
